@@ -1,0 +1,185 @@
+"""Basic blocks: Linear (torch-init), GEGLU FeedForward, TokenShift,
+SqueezeExcite (global-context), residual combinators.
+
+Rebuild of reference magvit2_pytorch.py:159-254 (combinators, ToTimeSequence,
+SqueezeExcite, TokenShift) and :466-508 (GEGLU / FeedForward). Channels-last;
+the 1x1(x1) convs of the reference become Dense layers over the trailing axis —
+identical math, and XLA maps them straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from magvit2_pytorch_tpu.ops.norms import AdaptiveRMSNorm, RMSNorm
+from magvit2_pytorch_tpu.utils.helpers import default, exists
+from magvit2_pytorch_tpu.utils.init import torch_bias_init, torch_kernel_init
+
+
+class Linear(nn.Module):
+    """Dense layer with torch nn.Linear's default init distributions."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param('kernel', torch_kernel_init, (fan_in, self.features))
+        out = jnp.einsum('...i,io->...o', x, kernel.astype(x.dtype))
+        if self.use_bias:
+            bias = self.param('bias', torch_bias_init(fan_in), (self.features,))
+            out = out + bias.astype(x.dtype)
+        return out
+
+
+def leaky_relu(x, negative_slope: float = 0.1):
+    # reference leaky_relu(p=0.1), magvit2_pytorch.py:117-118
+    return jax.nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+class GEGLU(nn.Module):
+    """Split trailing channels in half; ``gelu(gate) * x``
+    (reference magvit2_pytorch.py:466-469, which splits on the channel dim)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x, gate = jnp.split(x, 2, axis=-1)
+        return jax.nn.gelu(gate) * x
+
+
+class FeedForward(nn.Module):
+    """(Adaptive)RMSNorm -> 1x1 GEGLU MLP; inner dim ``int(dim*mult*2/3)``
+    (reference magvit2_pytorch.py:471-508). The reference's Conv2d/Conv3d 1x1
+    become Dense on channels-last."""
+
+    dim: int
+    dim_cond: Optional[int] = None
+    mult: float = 4.0
+    images: bool = False  # kept for signature parity; layout makes it moot
+
+    @nn.compact
+    def __call__(self, x, cond=None):
+        dim_inner = int(self.dim * self.mult * 2 / 3)
+
+        if exists(self.dim_cond):
+            x = AdaptiveRMSNorm(self.dim, dim_cond=self.dim_cond, name='norm')(x, cond)
+        else:
+            x = RMSNorm(self.dim, name='norm')(x)
+
+        x = Linear(dim_inner * 2, name='proj_in')(x)
+        x = GEGLU()(x)
+        return Linear(self.dim, name='proj_out')(x)
+
+
+class TokenShift(nn.Module):
+    """Temporal token shift: second half of channels shifted +1 frame
+    (reference magvit2_pytorch.py:244-254; pad (1,-1) on the time axis).
+
+    Operates on ``(B, T, H, W, C)``; inner fn applied to the concat.
+    """
+
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        x_main, x_shift = jnp.split(x, 2, axis=-1)
+        x_shift = jnp.pad(x_shift, [(0, 0), (1, 0)] + [(0, 0)] * (x.ndim - 2))[:, :-1]
+        x = jnp.concatenate((x_main, x_shift), axis=-1)
+        if kwargs and not _accepts_kwargs(self.fn, kwargs):
+            kwargs = {}
+        return self.fn(x, **kwargs)
+
+
+class SqueezeExcite(nn.Module):
+    """Global-context attention-style squeeze-excite (GCNet, arXiv 2012.13375;
+    reference magvit2_pytorch.py:194-240).
+
+    Context = softmax(1x1-conv logits over h*w) - weighted spatial mean, gated
+    through a sigmoid MLP whose last bias inits at -10 so the block starts near
+    identity*sigmoid(-10)*x ~= 0 residual contribution.
+    Input ``(B, T, H, W, C)`` video or ``(B, H, W, C)`` image; context is
+    per-frame (the reference folds frames into batch).
+    """
+
+    dim: int
+    dim_out: Optional[int] = None
+    dim_hidden_min: int = 16
+    init_bias: float = -10.0
+
+    @nn.compact
+    def __call__(self, x):
+        dim_out = default(self.dim_out, self.dim)
+        dim_hidden = max(self.dim_hidden_min, dim_out // 2)
+
+        is_video = x.ndim == 5
+        orig = x
+        if is_video:
+            b, t, h, w, c = x.shape
+            x = x.reshape(b * t, h, w, c)
+
+        # attention logits over space (1x1 conv -> softmax over h*w)
+        k = Linear(1, name='to_k')(x)                    # (bt, h, w, 1)
+        bt, h, w, _ = x.shape
+        attn = jax.nn.softmax(
+            k.reshape(bt, h * w, 1).astype(jnp.float32), axis=1).astype(x.dtype)
+        context = jnp.einsum(
+            'bnc,bno->boc', x.reshape(bt, h * w, -1), attn)  # (bt, 1, c)
+
+        g = Linear(dim_hidden, name='gate_in')(context)
+        g = leaky_relu(g)
+        gate_out = nn.Dense(
+            dim_out,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.constant(self.init_bias),
+            name='gate_out',
+        )(g)
+        gates = jax.nn.sigmoid(gate_out)                 # (bt, 1, c)
+
+        if is_video:
+            gates = gates.reshape(b, t, 1, 1, dim_out)
+        else:
+            gates = gates.reshape(bt, 1, 1, dim_out)
+
+        return gates * orig
+
+
+class Residual(nn.Module):
+    """y = fn(x) + x (reference magvit2_pytorch.py:167-174)."""
+
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        if kwargs and not _accepts_kwargs(self.fn, kwargs):
+            kwargs = {}
+        return self.fn(x, **kwargs) + x
+
+
+class Sequential(nn.Module):
+    """Exists-filtering sequential that forwards supported kwargs
+    (reference Sequential, magvit2_pytorch.py:159-165)."""
+
+    fns: Sequence[nn.Module]
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        for fn in self.fns:
+            x = fn(x, **kwargs) if kwargs and _accepts_kwargs(fn, kwargs) else fn(x)
+        return x
+
+
+def _accepts_kwargs(mod, kwargs) -> bool:
+    import inspect
+    try:
+        sig = inspect.signature(type(mod).__call__)
+    except (TypeError, ValueError):
+        return False
+    params = sig.parameters
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+        return True
+    return all(k in params for k in kwargs)

@@ -1,0 +1,133 @@
+"""Golden-numerics tests: our XLA conv ops vs torch CPU ops with identical
+weights. Validates the causal-padding-folded-into-conv lowering against the
+reference's pad-then-conv semantics (magvit2_pytorch.py:892-928) without
+copying any reference code."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from magvit2_pytorch_tpu.ops import (
+    CausalConv3d,
+    CausalConvTranspose3d,
+    SameConv2d,
+    blur,
+)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+@pytest.mark.parametrize('kernel', [(7, 7, 7), (3, 3, 3), (3, 1, 1)])
+@pytest.mark.parametrize('stride,dilation', [(1, 1), (2, 1), (1, 2)])
+def test_causal_conv3d_matches_torch(kernel, stride, dilation):
+    rng = np.random.default_rng(0)
+    b, t, h, w, cin, cout = 2, 8, 6, 6, 5, 7
+    kt, kh, kw = kernel
+
+    x = rng.normal(size=(b, t, h, w, cin)).astype(np.float32)
+    mod = CausalConv3d(cout, kernel, stride=stride, dilation=dilation)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = mod.apply(params, jnp.asarray(x))
+
+    # torch path: channel-first, pad front of time, then conv
+    wt = _np(params['params']['kernel']).transpose(4, 3, 0, 1, 2)  # O I kt kh kw
+    bias = _np(params['params']['bias'])
+    xt = torch.tensor(x.transpose(0, 4, 1, 2, 3))
+    time_pad = dilation * (kt - 1) + (1 - stride)
+    xt = F.pad(xt, (kw // 2, kw // 2, kh // 2, kh // 2, time_pad, 0))
+    ref = F.conv3d(xt, torch.tensor(wt), torch.tensor(bias),
+                   stride=(stride, 1, 1), dilation=(dilation, 1, 1))
+    ref = ref.numpy().transpose(0, 2, 3, 4, 1)
+
+    np.testing.assert_allclose(_np(out), ref, atol=2e-5)
+
+
+def test_causal_conv3d_is_causal():
+    """Future frames must not influence past outputs."""
+    mod = CausalConv3d(4, (3, 3, 3))
+    x = np.random.default_rng(1).normal(size=(1, 8, 4, 4, 3)).astype(np.float32)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out1 = mod.apply(params, jnp.asarray(x))
+
+    x2 = x.copy()
+    x2[:, 5:] += 100.0  # perturb only frames >= 5
+    out2 = mod.apply(params, jnp.asarray(x2))
+
+    np.testing.assert_allclose(_np(out1[:, :5]), _np(out2[:, :5]), atol=1e-5)
+    assert np.abs(_np(out1[:, 5:]) - _np(out2[:, 5:])).max() > 1.0
+
+
+def test_same_conv2d_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 9, 9, 3)).astype(np.float32)
+    mod = SameConv2d(6, (7, 7))
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = mod.apply(params, jnp.asarray(x))
+
+    wt = _np(params['params']['kernel']).transpose(3, 2, 0, 1)
+    bias = _np(params['params']['bias'])
+    ref = F.conv2d(torch.tensor(x.transpose(0, 3, 1, 2)), torch.tensor(wt),
+                   torch.tensor(bias), padding=3)
+    np.testing.assert_allclose(_np(out), ref.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_causal_conv_transpose3d_matches_torch():
+    rng = np.random.default_rng(3)
+    b, t, h, w, cin, cout = 1, 4, 5, 5, 3, 4
+    kernel, time_stride = (3, 3, 3), 2
+
+    x = rng.normal(size=(b, t, h, w, cin)).astype(np.float32)
+    mod = CausalConvTranspose3d(cout, kernel, time_stride=time_stride)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = mod.apply(params, jnp.asarray(x))
+
+    # torch ConvTranspose3d weight is (I, O, kt, kh, kw); ours (kt,kh,kw,O,I)
+    wt = _np(params['params']['kernel']).transpose(4, 3, 0, 1, 2)
+    bias = _np(params['params']['bias'])
+    ref = F.conv_transpose3d(
+        torch.tensor(x.transpose(0, 4, 1, 2, 3)), torch.tensor(wt),
+        torch.tensor(bias), stride=(time_stride, 1, 1), padding=(0, 1, 1))
+    ref = ref.numpy().transpose(0, 2, 3, 4, 1)[:, :t * time_stride]
+
+    assert _np(out).shape == ref.shape
+    np.testing.assert_allclose(_np(out), ref, atol=2e-5)
+
+
+def test_blur_matches_direct_3d_filter():
+    """Separable [1,2,1] blur == dense binomial 3D filter with replicate pad
+    (kornia filter3d(normalized=True) semantics)."""
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 5, 6, 6, 3)).astype(np.float32)
+
+    out = blur(jnp.asarray(x))
+
+    f1 = np.array([1.0, 2.0, 1.0])
+    k3 = np.einsum('i,j,k->ijk', f1, f1, f1)
+    k3 /= k3.sum()
+    xt = torch.tensor(x.transpose(0, 4, 1, 2, 3))
+    xt = F.pad(xt, (1, 1, 1, 1, 1, 1), mode='replicate')
+    kt = torch.tensor(k3, dtype=torch.float32).expand(3, 1, 3, 3, 3).clone()
+    ref = F.conv3d(xt, kt, groups=3).numpy().transpose(0, 2, 3, 4, 1)
+
+    np.testing.assert_allclose(_np(out), ref, atol=2e-5)
+
+
+def test_blur_space_only_matches_2d_filter():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 3, 6, 6, 2)).astype(np.float32)
+    out = blur(jnp.asarray(x), space_only=True)
+
+    f1 = np.array([1.0, 2.0, 1.0])
+    k2 = np.outer(f1, f1)
+    k2 /= k2.sum()
+    xt = torch.tensor(x.transpose(0, 1, 4, 2, 3).reshape(-1, 2, 6, 6))
+    xt = F.pad(xt, (1, 1, 1, 1), mode='replicate')
+    kt = torch.tensor(k2, dtype=torch.float32).expand(2, 1, 3, 3).clone()
+    ref = F.conv2d(xt, kt, groups=2).numpy().reshape(2, 3, 2, 6, 6).transpose(0, 1, 3, 4, 2)
+
+    np.testing.assert_allclose(_np(out), ref, atol=2e-5)
