@@ -18,6 +18,24 @@ from magvit2_pytorch_tpu.ops.basic import (
     leaky_relu,
 )
 from magvit2_pytorch_tpu.ops.norms import AdaptiveRMSNorm, LayerNorm, RMSNorm
+from magvit2_pytorch_tpu.ops.attend import (
+    attend,
+    get_default_attend_backend,
+    set_default_attend_backend,
+)
+from magvit2_pytorch_tpu.ops.attention import (
+    Attention,
+    LinearAttention,
+    LinearSpaceAttention,
+    SpaceAttention,
+    TaylorSeriesLinearAttn,
+    TimeAttention,
+)
+from magvit2_pytorch_tpu.ops.gateloop import (
+    SimpleGateLoopLayer,
+    ToTimeSequence,
+    gated_linear_recurrence,
+)
 from magvit2_pytorch_tpu.ops.resample import (
     ResidualUnit,
     ResidualUnitMod,

@@ -1,0 +1,112 @@
+"""Attention core: backend-dispatched scaled-dot-product attention.
+
+TPU-native rebuild of the reference's ``Attend``
+(/root/reference/magvit2_pytorch/attend.py:57-243). Two backends behind one
+interface, mirroring the reference's flash/math dual path (attend.py:84,214-216):
+
+- ``'xla'``   — einsum + fp32 softmax; XLA fuses this well for the short axial
+  sequence lengths the tokenizer uses.
+- ``'flash'`` — Pallas TPU flash-attention kernel (ops/pallas/flash_attention.py)
+  for the quadratic axes at larger resolutions.
+- ``'auto'``  — flash on TPU when shapes are tile-friendly, else xla.
+
+Semantics preserved from the reference:
+- right-aligned causal mask when ``k_len > q_len`` (memory-KV tokens are
+  visible to every query; attend.py:109-129)
+- causal disabled for single-query decode (attend.py:112-114)
+- fully-masked-row protection returns zeros (attend.py:133-143,181-182)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from magvit2_pytorch_tpu.utils.helpers import default, exists
+
+_DEFAULT_BACKEND = 'auto'
+
+
+def set_default_attend_backend(backend: str):
+    assert backend in ('auto', 'xla', 'flash')
+    global _DEFAULT_BACKEND
+    _DEFAULT_BACKEND = backend
+
+
+def get_default_attend_backend() -> str:
+    return _DEFAULT_BACKEND
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _flash_friendly(q, k) -> bool:
+    # the Pallas kernel wants lane-aligned head dims and enough rows to tile
+    *_, n, d = q.shape
+    m = k.shape[-2]
+    return d <= 256 and n >= 128 and m >= 128
+
+
+def attend(
+    q, k, v,
+    causal: bool = False,
+    mask=None,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+):
+    """q: (b, h, n, d); k, v: (b, h, m, d); mask: (b, h, n, m) bool (True=keep).
+
+    Returns (b, h, n, d) in q.dtype. Softmax always accumulates in fp32.
+    """
+    backend = default(backend, _DEFAULT_BACKEND)
+    n, m = q.shape[-2], k.shape[-2]
+
+    if n == 1 and causal:
+        causal = False
+
+    if backend == 'auto':
+        backend = 'flash' if (_on_tpu() and _flash_friendly(q, k) and not exists(mask)) else 'xla'
+
+    if backend == 'flash' and not exists(mask):
+        from magvit2_pytorch_tpu.ops.pallas.flash_attention import flash_attention
+        return flash_attention(q, k, v, causal=causal, scale=scale)
+
+    return _attend_xla(q, k, v, causal=causal, mask=mask, scale=scale)
+
+
+def _attend_xla(q, k, v, causal, mask, scale):
+    d = q.shape[-1]
+    n, m = q.shape[-2], k.shape[-2]
+    scale = default(scale, d ** -0.5)
+
+    dots = jnp.einsum('bhid,bhjd->bhij', q, k,
+                      preferred_element_type=jnp.float32) * scale
+
+    mask_value = jnp.finfo(jnp.float32).min
+
+    if causal:
+        # right-aligned: query i sees keys j <= i + (m - n); the m-n extra
+        # keys on the left (memory KV) are visible to everyone
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        causal_mask = j > (i + (m - n))
+        dots = jnp.where(causal_mask, mask_value, dots)
+
+    row_all_masked = None
+    if exists(mask):
+        dots = jnp.where(mask, dots, mask_value)
+        row_all_masked = ~jnp.any(mask, axis=-1)
+
+    attn = jax.nn.softmax(dots, axis=-1)
+    out = jnp.einsum('bhij,bhjd->bhid', attn.astype(v.dtype), v)
+
+    if exists(row_all_masked):
+        out = jnp.where(row_all_masked[..., None], 0.0, out)
+
+    return out.astype(q.dtype)

@@ -1,0 +1,203 @@
+"""Attention modules: full attention with learned memory KV, axial space/time
+wrappers, Taylor-series linear attention.
+
+Rebuild of reference magvit2_pytorch.py:325-464 on channels-last video
+``(B, T, H, W, C)``. Axial factorization is the long-context strategy (space
+attention per frame, causal time attention per pixel — never the full t*h*w
+sequence; SURVEY.md §5.7), so the quadratic cost stays bounded and maps to
+dense MXU matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from magvit2_pytorch_tpu.ops.attend import attend
+from magvit2_pytorch_tpu.ops.basic import Linear
+from magvit2_pytorch_tpu.ops.norms import AdaptiveRMSNorm, RMSNorm
+from magvit2_pytorch_tpu.utils.helpers import exists, l2norm
+
+
+class Attention(nn.Module):
+    """Pre-norm multi-head attention with ``num_memory_kv`` learned key/values
+    prepended (reference magvit2_pytorch.py:327-388). Operates on sequences
+    ``(B, N, C)``."""
+
+    dim: int
+    dim_cond: Optional[int] = None
+    causal: bool = False
+    dim_head: int = 32
+    heads: int = 8
+    num_memory_kv: int = 4
+    backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, cond=None):
+        assert self.num_memory_kv > 0
+        dim_inner = self.dim_head * self.heads
+
+        if exists(self.dim_cond):
+            x = AdaptiveRMSNorm(self.dim, dim_cond=self.dim_cond, name='norm')(x, cond)
+        else:
+            x = RMSNorm(self.dim, name='norm')(x)
+
+        b, n, _ = x.shape
+        qkv = Linear(dim_inner * 3, use_bias=False, name='to_qkv')(x)
+        # channel layout (qkv, heads, dim_head) — qkv slowest, matching the
+        # reference's 'b n (qkv h d) -> qkv b h n d'
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)          # (b, n, h, d) each
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (b, h, n, d)
+
+        mem_kv = self.param(
+            'mem_kv', nn.initializers.normal(stddev=1.0),
+            (2, self.heads, self.num_memory_kv, self.dim_head))
+        mk, mv = jnp.broadcast_to(
+            mem_kv[:, None], (2, b, self.heads, self.num_memory_kv, self.dim_head)
+        ).astype(x.dtype)
+        k = jnp.concatenate((mk, k), axis=-2)
+        v = jnp.concatenate((mv, v), axis=-2)
+
+        if exists(mask):
+            # key padding mask (b, m) -> (b, 1, 1, m); memory kv always visible
+            mask = jnp.pad(mask, ((0, 0), (self.num_memory_kv, 0)),
+                           constant_values=True)
+            mask = mask[:, None, None, :]
+            mask = jnp.broadcast_to(mask, (b, self.heads, n, mask.shape[-1]))
+
+        out = attend(q, k, v, causal=self.causal, mask=mask, backend=self.backend)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
+        return Linear(self.dim, use_bias=False, name='to_out')(out)
+
+
+class TaylorSeriesLinearAttn(nn.Module):
+    """Second-order Taylor-softmax linear attention, first-party JAX
+    (behavioral equivalent of the external ``taylor_series_linear_attention``
+    package the reference wraps at magvit2_pytorch.py:34,415-419; arXiv
+    2312.04927 'Zoology'/Based-style feature map).
+
+    Feature map phi(x) = [1, x, vec(x (x) x)/sqrt(2)] makes
+    phi(q).phi(k) = 1 + q.k + (q.k)^2/2 — the 2nd-order Taylor expansion of
+    exp(q.k). Linear O(n) cost: out = phi(q) @ (phi(k)^T v) / phi(q) @ sum phi(k).
+    With dim_head=8 the feature dim is 73 — small dense matmuls the MXU eats.
+    """
+
+    dim: int
+    dim_head: int = 8
+    heads: int = 8
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim_inner = self.dim_head * self.heads
+        b, n, _ = x.shape
+
+        qkv = Linear(dim_inner * 3, use_bias=False, name='to_qkv')(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (b,h,n,d)
+
+        q = q * (self.dim_head ** -0.5)
+
+        def phi(t):
+            t32 = t.astype(jnp.float32)
+            outer = jnp.einsum('bhni,bhnj->bhnij', t32, t32) * (0.5 ** 0.5)
+            d = t.shape[-1]
+            return jnp.concatenate([
+                jnp.ones((*t.shape[:-1], 1), jnp.float32),
+                t32,
+                outer.reshape(*t.shape[:-1], d * d),
+            ], axis=-1)
+
+        pq, pk = phi(q), phi(k)
+        kv = jnp.einsum('bhnd,bhne->bhde', pk, v.astype(jnp.float32))
+        num = jnp.einsum('bhnd,bhde->bhne', pq, kv)
+        den = jnp.einsum('bhnd,bhd->bhn', pq, pk.sum(axis=-2))
+        out = num / (den[..., None] + self.eps)
+
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
+        return Linear(self.dim, use_bias=False, name='to_out')(out)
+
+
+class LinearAttention(nn.Module):
+    """(Adaptive)RMSNorm pre-norm around TaylorSeriesLinearAttn (reference
+    magvit2_pytorch.py:390-430)."""
+
+    dim: int
+    dim_cond: Optional[int] = None
+    dim_head: int = 8
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, x, cond=None):
+        if exists(self.dim_cond):
+            x = AdaptiveRMSNorm(self.dim, dim_cond=self.dim_cond, name='norm')(x, cond)
+        else:
+            x = RMSNorm(self.dim, name='norm')(x)
+        return TaylorSeriesLinearAttn(
+            self.dim, dim_head=self.dim_head, heads=self.heads, name='attn')(x)
+
+
+def _space_to_seq(x):
+    """(b, t, h, w, c) or (b, h, w, c) -> (b*t, h*w, c) + restore fn."""
+    if x.ndim == 4:
+        b, h, w, c = x.shape
+        return x.reshape(b, h * w, c), lambda o: o.reshape(b, h, w, -1)
+    b, t, h, w, c = x.shape
+    return (x.reshape(b * t, h * w, c),
+            lambda o: o.reshape(b, t, h, w, -1))
+
+
+def _time_to_seq(x):
+    """(b, t, h, w, c) -> (b*h*w, t, c) + restore fn."""
+    b, t, h, w, c = x.shape
+    xt = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+
+    def restore(o):
+        return o.reshape(b, h, w, t, -1).transpose(0, 3, 1, 2, 4)
+
+    return xt, restore
+
+
+class SpaceAttention(Attention):
+    """Axial full attention over h*w per (batch, frame) (reference
+    magvit2_pytorch.py:444-454)."""
+
+    @nn.compact
+    def __call__(self, x, mask=None, cond=None):
+        seq, restore = _space_to_seq(x)
+        if exists(cond):
+            cond = jnp.repeat(cond, seq.shape[0] // cond.shape[0], axis=0)
+        out = super().__call__(seq, mask=mask, cond=cond)
+        return restore(out)
+
+
+class TimeAttention(Attention):
+    """Axial attention over t per (batch, pixel), causal in the layer stack
+    (reference magvit2_pytorch.py:456-464)."""
+
+    @nn.compact
+    def __call__(self, x, mask=None, cond=None):
+        seq, restore = _time_to_seq(x)
+        if exists(cond):
+            cond = jnp.repeat(cond, seq.shape[0] // cond.shape[0], axis=0)
+        out = super().__call__(seq, mask=mask, cond=cond)
+        return restore(out)
+
+
+class LinearSpaceAttention(LinearAttention):
+    """Axial linear attention over h*w (reference magvit2_pytorch.py:432-442).
+    Works on video (b,t,h,w,c) and images (b,h,w,c)."""
+
+    @nn.compact
+    def __call__(self, x, cond=None):
+        seq, restore = _space_to_seq(x)
+        if exists(cond):
+            cond = jnp.repeat(cond, seq.shape[0] // cond.shape[0], axis=0)
+        out = super().__call__(seq, cond=cond)
+        return restore(out)
