@@ -1,0 +1,321 @@
+"""Lookup-Free Quantization (LFQ) and Finite Scalar Quantization (FSQ),
+first-party, fused and jit-friendly.
+
+The reference delegates to the external ``vector_quantize_pytorch`` package
+(magvit2_pytorch.py:21,1364-1382, pinned >=1.14.39 in setup.py:34). This is the
+TPU-native rebuild prescribed by SURVEY.md §2.9: the whole quantize path
+(sign/STE + entropy + commitment losses) is a single jitted function — XLA
+fuses the elementwise bit math into neighbouring ops, and the full-codebook
+entropy term is one ±1 matmul that lands on the MXU.
+
+Contracts preserved (MagViT2 paper arXiv 2310.05737 §3.1 / FSQ arXiv
+2309.15505 + package conventions):
+- LFQ indices are MSB-first bit-strings of ``x > 0`` (bit d of D at weight
+  2^(D-1-d)), so ``indices_to_codes ∘ quantize = id`` on codes.
+- FSQ indices use the mixed-radix basis ``cumprod([1, *levels[:-1]])``.
+- Quantization math runs in float32 regardless of the compute dtype
+  (package ``force_quantization_f32`` default).
+
+Deviation (flagged): for codebooks larger than ``entropy_full_max_size`` the
+entropy regularizer uses the exact factorized per-bit form (the 2^D codebook of
+LFQ factorizes over bits) instead of materializing a 2^18-wide softmax; the
+diversity term then uses the per-bit marginal entropy surrogate, as in
+Open-MAGVIT2-style large-codebook training.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from magvit2_pytorch_tpu.ops.basic import Linear
+from magvit2_pytorch_tpu.utils.helpers import default, exists, l2norm
+
+
+class LossBreakdown(NamedTuple):
+    per_sample_entropy: jnp.ndarray
+    codebook_entropy: jnp.ndarray
+    commitment: jnp.ndarray
+
+
+class QuantizerOutput(NamedTuple):
+    quantized: jnp.ndarray
+    indices: jnp.ndarray
+    aux_loss: jnp.ndarray
+    breakdown: Optional[LossBreakdown] = None
+
+
+def _pack_spatial(x):
+    """(b, *spatial, d) -> (b, n, d) + restore fn."""
+    b, *spatial, d = x.shape
+    n = 1
+    for s in spatial:
+        n *= s
+
+    def restore(t):
+        return t.reshape(b, *spatial, *t.shape[2:])
+
+    return x.reshape(b, n, d), restore, spatial
+
+
+class LFQ(nn.Module):
+    """Lookup-free (binary spherical-style) quantizer.
+
+    Parity target: ``vector_quantize_pytorch.LFQ`` as configured by the
+    reference (magvit2_pytorch.py:1364-1373): entropy_loss_weight=0.1,
+    commitment_loss_weight=1.0, diversity_gamma=2.5,
+    soft_clamp_input_value=10.0, spherical=False.
+    """
+
+    dim: int
+    codebook_size: int
+    num_codebooks: int = 1
+    entropy_loss_weight: float = 0.1
+    commitment_loss_weight: float = 1.0
+    diversity_gamma: float = 2.5
+    soft_clamp_input_value: Optional[float] = 10.0
+    spherical: bool = False
+    inv_temperature: float = 100.0
+    keep_num_codebooks_dim: Optional[bool] = None
+    entropy_full_max_size: int = 4096
+
+    @property
+    def codebook_dim(self) -> int:
+        cd = int(math.log2(self.codebook_size))
+        assert 2 ** cd == self.codebook_size, 'codebook_size must be a power of 2'
+        return cd
+
+    @property
+    def codebook_dims(self) -> int:
+        return self.codebook_dim * self.num_codebooks
+
+    @property
+    def _keep_cb_dim(self) -> bool:
+        return default(self.keep_num_codebooks_dim, self.num_codebooks > 1)
+
+    def _bit_mask(self):
+        d = self.codebook_dim
+        return (2 ** jnp.arange(d - 1, -1, -1)).astype(jnp.uint32)
+
+    def setup(self):
+        if self.dim != self.codebook_dims:
+            self.project_in = Linear(self.codebook_dims, name='project_in')
+            self.project_out = Linear(self.dim, name='project_out')
+
+    def __call__(self, x, train: bool = False) -> QuantizerOutput:
+        """x: (b, *spatial, dim) channels-last. Returns quantized in the same
+        shape/dtype, integer indices (b, *spatial[, num_codebooks]) and the
+        weighted aux loss (entropy + commitment)."""
+        in_dtype = x.dtype
+        needs_proj = self.dim != self.codebook_dims
+
+        if needs_proj:
+            x = self.project_in(x)
+
+        seq, restore, _ = _pack_spatial(x)
+        b, n, _ = seq.shape
+        c, d = self.num_codebooks, self.codebook_dim
+        z = seq.reshape(b, n, c, d).astype(jnp.float32)
+
+        if self.spherical:
+            z = l2norm(z) * (d ** 0.5)
+
+        if exists(self.soft_clamp_input_value):
+            v = self.soft_clamp_input_value
+            z = jnp.tanh(z / v) * v
+
+        # sign quantize with straight-through estimator
+        codes = jnp.where(z > 0, 1.0, -1.0)
+        quantized = z + jax.lax.stop_gradient(codes - z)
+
+        # indices: MSB-first bit pack of the positive bits
+        bits = (z > 0).astype(jnp.uint32)
+        indices = jnp.sum(bits * self._bit_mask(), axis=-1).astype(jnp.int32)
+
+        # aux losses (computed in fp32)
+        if train:
+            per_sample_entropy, codebook_entropy = self._entropy_losses(z)
+            entropy_aux = per_sample_entropy - self.diversity_gamma * codebook_entropy
+            commitment = jnp.mean((z - jax.lax.stop_gradient(codes)) ** 2)
+            aux = (entropy_aux * self.entropy_loss_weight
+                   + commitment * self.commitment_loss_weight)
+            breakdown = LossBreakdown(per_sample_entropy, codebook_entropy, commitment)
+        else:
+            zero = jnp.zeros((), jnp.float32)
+            aux, breakdown = zero, LossBreakdown(zero, zero, zero)
+
+        out = quantized.reshape(b, n, c * d).astype(in_dtype)
+        if needs_proj:
+            out = self.project_out(out)
+        out = restore(out)
+
+        idx = restore(indices)                     # (b, *spatial, c)
+        if not self._keep_cb_dim:
+            idx = idx.squeeze(-1)
+
+        return QuantizerOutput(out, idx, aux, breakdown)
+
+    def _entropy_losses(self, z):
+        """z: (b, n, c, d) fp32. Returns (per_sample_entropy, codebook_entropy)
+        — both to be *minimized*/(maximized via the diversity sign)."""
+        t = self.inv_temperature
+        if self.codebook_size <= self.entropy_full_max_size:
+            # exact: softmax over the full ±1 codebook via one matmul
+            codebook = self.full_codebook()                       # (K, d)
+            logits = 2.0 * t * jnp.einsum('bncd,kd->bnck', z, codebook)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            p = jnp.exp(logp)
+            per_sample = -jnp.sum(p * logp, axis=-1).mean()
+            mean_p = p.mean(axis=(0, 1))                          # (c, K)
+            codebook_ent = -jnp.sum(
+                mean_p * jnp.log(jnp.clip(mean_p, 1e-10)), axis=-1).mean()
+            return per_sample, codebook_ent
+
+        # factorized: the 2^d codebook factorizes over bits, so the per-sample
+        # entropy is an exact sum of binary entropies; diversity uses per-bit
+        # marginals (surrogate; see module docstring)
+        p_pos = jax.nn.sigmoid(4.0 * t * z)                       # (b, n, c, d)
+
+        def binary_entropy(p):
+            p = jnp.clip(p, 1e-7, 1 - 1e-7)
+            return -(p * jnp.log(p) + (1 - p) * jnp.log(1 - p))
+
+        per_sample = binary_entropy(p_pos).sum(axis=-1).mean()
+        mean_p = p_pos.mean(axis=(0, 1))                          # (c, d)
+        codebook_ent = binary_entropy(mean_p).sum(axis=-1).mean()
+        return per_sample, codebook_ent
+
+    def full_codebook(self):
+        """All 2^d sign patterns, MSB-first: row k has bit (d-1-j) of k at
+        position j mapped to ±1. Row k == indices_to_bits(k)."""
+        d = self.codebook_dim
+        ks = jnp.arange(self.codebook_size, dtype=jnp.uint32)
+        bits = (ks[:, None] & self._bit_mask()[None, :]) != 0
+        return jnp.where(bits, 1.0, -1.0).astype(jnp.float32)
+
+    def indices_to_codes(self, indices):
+        """Inverse of the bit pack: integer indices -> ±1 codes -> project_out.
+        indices: (b, *spatial) or (b, *spatial, num_codebooks)."""
+        if not self._keep_cb_dim:
+            indices = indices[..., None]
+        iu = indices.astype(jnp.uint32)
+        bits = (iu[..., None] & self._bit_mask()) != 0
+        codes = jnp.where(bits, 1.0, -1.0).astype(jnp.float32)   # (..., c, d)
+        codes = codes.reshape(*codes.shape[:-2], self.codebook_dims)
+        if self.dim != self.codebook_dims:
+            codes = self.project_out(codes)
+        return codes
+
+
+class FSQ(nn.Module):
+    """Finite Scalar Quantization (arXiv 2309.15505); parity target
+    ``vector_quantize_pytorch.FSQ`` as configured by the reference
+    (magvit2_pytorch.py:1378-1382). Effective codebook size = prod(levels)."""
+
+    levels: Sequence[int]
+    dim: Optional[int] = None
+    num_codebooks: int = 1
+    eps: float = 1e-3
+    keep_num_codebooks_dim: Optional[bool] = None
+
+    @property
+    def codebook_dim(self) -> int:
+        return len(self.levels)
+
+    @property
+    def codebook_dims(self) -> int:
+        return self.codebook_dim * self.num_codebooks
+
+    @property
+    def codebook_size(self) -> int:
+        out = 1
+        for l in self.levels:
+            out *= l
+        return out
+
+    @property
+    def _keep_cb_dim(self) -> bool:
+        return default(self.keep_num_codebooks_dim, self.num_codebooks > 1)
+
+    def _levels_arr(self):
+        return jnp.asarray(self.levels, dtype=jnp.float32)
+
+    def _basis(self):
+        basis = [1]
+        for l in self.levels[:-1]:
+            basis.append(basis[-1] * l)
+        return jnp.asarray(basis, dtype=jnp.int32)
+
+    def _bound(self, z):
+        levels = self._levels_arr()
+        half_l = (levels - 1) * (1 + self.eps) / 2
+        offset = jnp.where(levels % 2 == 0, 0.5, 0.0)
+        shift = jnp.arctanh(offset / half_l)
+        return jnp.tanh(z + shift) * half_l - offset
+
+    def _quantize(self, z):
+        """z fp32 (..., d) -> normalized codes in [-1, 1] with STE."""
+        bounded = self._bound(z)
+        quantized = jnp.round(bounded)
+        quantized = bounded + jax.lax.stop_gradient(quantized - bounded)
+        half_width = jnp.floor_divide(self._levels_arr(), 2)
+        return quantized / half_width
+
+    def _scale_and_shift(self, z_normalized):
+        half_width = jnp.floor_divide(self._levels_arr(), 2)
+        return z_normalized * half_width + half_width
+
+    def _unscale(self, z_scaled):
+        half_width = jnp.floor_divide(self._levels_arr(), 2)
+        return (z_scaled - half_width) / half_width
+
+    def setup(self):
+        dim = default(self.dim, self.codebook_dims)
+        if dim != self.codebook_dims:
+            self.project_in = Linear(self.codebook_dims, name='project_in')
+            self.project_out = Linear(dim, name='project_out')
+
+    def __call__(self, x, train: bool = False) -> QuantizerOutput:
+        dim = default(self.dim, self.codebook_dims)
+        needs_proj = dim != self.codebook_dims
+        in_dtype = x.dtype
+
+        if needs_proj:
+            x = self.project_in(x)
+
+        seq, restore, _ = _pack_spatial(x)
+        b, n, _ = seq.shape
+        z = seq.reshape(b, n, self.num_codebooks, self.codebook_dim)
+        z = z.astype(jnp.float32)
+
+        codes = self._quantize(z)                                 # (..., c, d)
+        scaled = self._scale_and_shift(codes)                     # 0..L-1
+        indices = jnp.sum(
+            scaled.astype(jnp.int32) * self._basis(), axis=-1).astype(jnp.int32)
+
+        out = codes.reshape(b, n, self.codebook_dims).astype(in_dtype)
+        if needs_proj:
+            out = self.project_out(out)
+        out = restore(out)
+
+        idx = restore(indices) if self._keep_cb_dim else restore(indices).squeeze(-1)
+
+        zero = jnp.zeros((), jnp.float32)
+        return QuantizerOutput(out, idx, zero, None)
+
+    def indices_to_codes(self, indices):
+        if not self._keep_cb_dim:
+            indices = indices[..., None]
+        idx = indices[..., None].astype(jnp.int32)                # (..., c, 1)
+        levels = jnp.asarray(self.levels, dtype=jnp.int32)
+        digits = (idx // self._basis()) % levels                   # (..., c, d)
+        codes = self._unscale(digits.astype(jnp.float32))
+        codes = codes.reshape(*codes.shape[:-2], self.codebook_dims)
+        dim = default(self.dim, self.codebook_dims)
+        if dim != self.codebook_dims:
+            codes = self.project_out(codes)
+        return codes
