@@ -1,0 +1,535 @@
+"""User-facing ``VideoTokenizer``: the reference's OO API over the functional
+TPU core.
+
+API parity with reference VideoTokenizer (magvit2_pytorch.py:1045-1896):
+``encode / decode / decode_from_code_indices / tokenize / forward(+5 loss
+modes) / save / load / init_and_load_from / parameters / discr_parameters /
+copy_for_eval``. Differences (all TPU-native by design):
+
+- tensors are channels-LAST: video ``(B, T, H, W, C)``, image ``(B, H, W, C)``.
+  Pass ``channel_first=True`` to any entry point to use the reference's
+  ``(B, C, T, H, W)`` layout.
+- checkpoints store a JSON config + msgpack param pytrees (no pickle;
+  SURVEY.md §5.6). VGG weights are excluded, like the reference's
+  ``@remove_vgg`` (magvit2_pytorch.py:1487-1493).
+- the discriminator is only constructed when ``use_gan=True`` (fixes reference
+  quirk #6 — it always builds one, magvit2_pytorch.py:1415-1422).
+- loss-mode forwards take an optional ``rng`` (JAX threaded PRNG); without one
+  an internal counter-derived key is used.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from magvit2_pytorch_tpu.models.discriminator import (
+    Discriminator,
+    MultiscaleDiscriminator,
+)
+from magvit2_pytorch_tpu.models.tokenizer_module import (
+    TokenizerConfig,
+    TokenizerModule,
+)
+from magvit2_pytorch_tpu.models.vgg import VGG16Features, load_torch_vgg16_state_dict
+from magvit2_pytorch_tpu.utils.helpers import default, divisible_by, exists
+from magvit2_pytorch_tpu.version import __version__
+
+
+def _to_channels_last(x, is_video: bool):
+    return jnp.moveaxis(x, 1, -1)
+
+
+def _to_channels_first(x):
+    return jnp.moveaxis(x, -1, 1)
+
+
+class VideoTokenizer:
+    """Construct with the reference's kwargs (see TokenizerConfig)."""
+
+    def __init__(self, *, seed: int = 0, params=None, discr_params=None,
+                 multiscale_params=None, **kwargs):
+        self.config = TokenizerConfig(**kwargs)
+        cfg = self.config
+        parsed = cfg.parsed()
+        self._parsed = parsed
+
+        self.module = TokenizerModule(cfg)
+
+        key = jax.random.PRNGKey(seed)
+        key, k_tok, k_discr, k_vgg = jax.random.split(key, 4)
+        self._rng = key
+        self._step = 0
+
+        # tokenizer params
+        tdf = parsed.time_downsample_factor
+        dummy_video = jnp.zeros(
+            (1, tdf + 1, cfg.image_size, cfg.image_size, cfg.channels),
+            jnp.float32)
+        dummy_cond = (jnp.zeros((1, cfg.dim_cond), jnp.float32)
+                      if parsed.has_cond else None)
+        if params is None:
+            params = self.module.init(
+                k_tok, dummy_video, cond=dummy_cond)['params']
+        self.params = params
+
+        # perceptual net (reference magvit2_pytorch.py:1392-1407)
+        self.use_vgg = (cfg.channels in (1, 3, 4)
+                        and cfg.perceptual_loss_weight > 0)
+        self.vgg = None
+        self.vgg_params = None
+        if self.use_vgg:
+            self.vgg = VGG16Features()
+            dummy_img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3),
+                                  jnp.float32)
+            self.vgg_params = self.vgg.init(k_vgg, dummy_img)
+            if exists(cfg.vgg_weights):
+                self.load_vgg_weights(cfg.vgg_weights)
+
+        # gan / discriminators
+        self.use_gan = cfg.use_gan
+        self.has_gan = cfg.use_gan and cfg.adversarial_loss_weight > 0
+        self.has_multiscale_gan = (
+            cfg.use_gan and cfg.multiscale_adversarial_loss_weight > 0)
+
+        self.discr = None
+        self.discr_params = None
+        self.multiscale_discrs = []
+        self.multiscale_params = []
+
+        if cfg.use_gan:
+            discr_kwargs = default(cfg.discr_kwargs, dict(
+                dim=parsed.final_dim,
+                image_size=cfg.image_size,
+                channels=cfg.channels,
+                max_dim=512,
+            ))
+            self.discr = Discriminator(**discr_kwargs)
+            dummy_img = jnp.zeros(
+                (1, cfg.image_size, cfg.image_size, cfg.channels), jnp.float32)
+            if discr_params is None:
+                discr_params = self.discr.init(k_discr, dummy_img)['params']
+            self.discr_params = discr_params
+
+            for i, ms_kwargs in enumerate(cfg.multiscale_discrs):
+                ms_kwargs = dict(ms_kwargs)
+                ms_kwargs.setdefault('dim', parsed.final_dim)
+                ms_kwargs.setdefault('image_size', cfg.image_size)
+                ms_kwargs.setdefault('channels', cfg.channels)
+                ms = MultiscaleDiscriminator(**ms_kwargs)
+                self.multiscale_discrs.append(ms)
+                if multiscale_params is not None:
+                    self.multiscale_params.append(multiscale_params[i])
+                else:
+                    kd = jax.random.fold_in(k_discr, i + 1)
+                    dummy_vid = jnp.zeros(
+                        (1, 2, cfg.image_size, cfg.image_size, cfg.channels),
+                        jnp.float32)
+                    self.multiscale_params.append(
+                        ms.init(kd, dummy_vid)['params'])
+
+        self.has_multiscale_discrs = (
+            self.has_multiscale_gan and len(self.multiscale_discrs) > 0)
+
+        self._jit_cache = {}
+
+    # -- static/derived ------------------------------------------------------
+
+    @property
+    def image_size(self):
+        return self.config.image_size
+
+    @property
+    def channels(self):
+        return self.config.channels
+
+    @property
+    def time_downsample_factor(self):
+        return self._parsed.time_downsample_factor
+
+    @property
+    def time_padding(self):
+        return self.time_downsample_factor - 1
+
+    @property
+    def fmap_size(self):
+        return self._parsed.fmap_size
+
+    @property
+    def codebook_size(self):
+        if self.config.use_fsq:
+            out = 1
+            for l in self.config.fsq_levels:
+                out *= l
+            return out
+        return self.config.codebook_size
+
+    def next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # -- jit helpers ---------------------------------------------------------
+
+    def _jitted(self, name, fn, static_argnames=()):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn, static_argnames=static_argnames)
+        return self._jit_cache[name]
+
+    # -- core API ------------------------------------------------------------
+
+    def encode(self, video, quantize: bool = False, cond=None,
+               video_contains_first_frame: bool = True,
+               channel_first: bool = False):
+        """reference magvit2_pytorch.py:1522-1576."""
+        video = jnp.asarray(video)
+        if channel_first:
+            video = _to_channels_last(video, is_video=True)
+
+        def _encode(params, video, cond, vcff):
+            return self.module.apply({'params': params}, video, cond=cond,
+                                     video_contains_first_frame=vcff,
+                                     method=TokenizerModule.encode)
+
+        fn = self._jitted('encode', _encode, static_argnames=('vcff',))
+        latents = fn(self.params, video, cond, video_contains_first_frame)
+
+        if quantize:
+            latents = self._quantize(latents).quantized
+        if channel_first:
+            latents = _to_channels_first(latents)
+        return latents
+
+    def _quantize(self, latents, train: bool = False):
+        def _q(params, latents, train):
+            return self.module.apply({'params': params}, latents, train=train,
+                                     method=TokenizerModule.quantize)
+
+        fn = self._jitted('quantize', _q, static_argnames=('train',))
+        return fn(self.params, latents, train)
+
+    def decode(self, quantized, cond=None,
+               video_contains_first_frame: bool = True,
+               channel_first: bool = False):
+        """reference magvit2_pytorch.py:1597-1649."""
+        quantized = jnp.asarray(quantized)
+        if channel_first:
+            quantized = _to_channels_last(quantized, is_video=True)
+
+        def _decode(params, quantized, cond, vcff):
+            return self.module.apply({'params': params}, quantized, cond=cond,
+                                     video_contains_first_frame=vcff,
+                                     method=TokenizerModule.decode)
+
+        fn = self._jitted('decode', _decode, static_argnames=('vcff',))
+        video = fn(self.params, quantized, cond, video_contains_first_frame)
+        if channel_first:
+            video = _to_channels_first(video)
+        return video
+
+    def decode_from_code_indices(self, codes, cond=None,
+                                 video_contains_first_frame: bool = True,
+                                 channel_first: bool = False):
+        """Accepts flattened ``(b, f*h*w)`` or shaped ``(b, f, h, w)`` integer
+        codes (reference magvit2_pytorch.py:1578-1595)."""
+        codes = jnp.asarray(codes)
+        assert jnp.issubdtype(codes.dtype, jnp.integer)
+
+        if codes.ndim == 2:
+            fmap = self.fmap_size
+            video_code_len = codes.shape[-1]
+            assert divisible_by(video_code_len, fmap * fmap), (
+                f'flattened video ids must have a length ({video_code_len}) '
+                f'divisible by fmap size ({fmap}) squared ({fmap * fmap})')
+            codes = codes.reshape(codes.shape[0], -1, fmap, fmap)
+
+        def _i2c(params, codes):
+            return self.module.apply({'params': params}, codes,
+                                     method=TokenizerModule.indices_to_codes)
+
+        fn = self._jitted('indices_to_codes', _i2c)
+        quantized = fn(self.params, codes)
+        return self.decode(quantized, cond=cond,
+                           video_contains_first_frame=video_contains_first_frame,
+                           channel_first=channel_first)
+
+    def tokenize(self, video, **kwargs):
+        """reference magvit2_pytorch.py:1651-1654."""
+        return self.forward(video, return_codes=True, train=False, **kwargs)
+
+    def __call__(self, *args, **kwargs):
+        return self.forward(*args, **kwargs)
+
+    def forward(
+        self,
+        video_or_images,
+        cond=None,
+        return_loss: bool = False,
+        return_codes: bool = False,
+        return_recon: bool = False,
+        return_discr_loss: bool = False,
+        return_recon_loss_only: bool = False,
+        apply_gradient_penalty: bool = True,
+        video_contains_first_frame: bool = True,
+        adversarial_loss_weight: Optional[float] = None,
+        multiscale_adversarial_loss_weight: Optional[float] = None,
+        rng=None,
+        train: Optional[bool] = None,
+        channel_first: bool = False,
+    ):
+        """One method, five output modes — reference forward
+        (magvit2_pytorch.py:1656-1896)."""
+        cfg = self.config
+        adversarial_loss_weight = default(
+            adversarial_loss_weight, cfg.adversarial_loss_weight)
+        multiscale_adversarial_loss_weight = default(
+            multiscale_adversarial_loss_weight,
+            cfg.multiscale_adversarial_loss_weight)
+
+        assert (int(return_loss) + int(return_codes)
+                + int(return_discr_loss)) <= 1
+
+        video = jnp.asarray(video_or_images)
+        if channel_first:
+            video = _to_channels_last(video, is_video=video.ndim == 5)
+        assert video.ndim in (4, 5)
+
+        is_image = video.ndim == 4
+        if is_image:
+            video = video[:, None]
+            video_contains_first_frame = True
+
+        assert video.shape[2] == video.shape[3] == self.image_size
+        frames = video.shape[1]
+        assert divisible_by(
+            frames - int(video_contains_first_frame),
+            self.time_downsample_factor), (
+            f'number of frames {frames} minus first frame must be divisible '
+            f'by the total time downsample factor '
+            f'{self.time_downsample_factor}')
+
+        train = default(train, return_loss or return_discr_loss)
+        rng = default(rng, self.next_rng())
+
+        if return_discr_loss:
+            assert self.has_gan and exists(self.discr)
+            from magvit2_pytorch_tpu.training.losses import discriminator_loss
+
+            def _dl(params, discr_params, ms_params, video, cond, rng, agp):
+                return discriminator_loss(
+                    self.module, params, self.discr, discr_params, video, rng,
+                    multiscale_modules=tuple(self.multiscale_discrs),
+                    multiscale_params=tuple(ms_params),
+                    cond=cond,
+                    video_contains_first_frame=video_contains_first_frame,
+                    apply_gradient_penalty=agp,
+                    grad_penalty_loss_weight=cfg.grad_penalty_loss_weight,
+                    multiscale_adversarial_loss_weight=multiscale_adversarial_loss_weight,
+                )
+
+            fn = self._jitted(
+                ('discr_loss', video_contains_first_frame), _dl,
+                static_argnames=('agp',))
+            return fn(self.params, self.discr_params,
+                      tuple(self.multiscale_params), video, cond, rng,
+                      apply_gradient_penalty)
+
+        if return_loss or return_recon_loss_only:
+            from magvit2_pytorch_tpu.training.losses import tokenizer_loss
+
+            if return_recon_loss_only:
+                recon = self._forward_recon(video, cond,
+                                            video_contains_first_frame)
+                recon_loss = jnp.mean(
+                    (video.astype(jnp.float32)
+                     - recon.astype(jnp.float32)) ** 2)
+                if channel_first:
+                    recon = _to_channels_first(recon)
+                    if is_image:
+                        recon = recon[:, :, 0]
+                elif is_image:
+                    recon = recon[:, 0]
+                return recon_loss, recon
+
+            has_gan = self.has_gan and adversarial_loss_weight > 0
+            has_ms = (self.has_multiscale_discrs
+                      and multiscale_adversarial_loss_weight > 0)
+
+            def _tl(params, discr_params, ms_params, vgg_params, video, cond,
+                    rng, train):
+                total, breakdown, _ = tokenizer_loss(
+                    self.module, params, video, rng,
+                    discr_module=self.discr, discr_params=discr_params,
+                    multiscale_modules=tuple(self.multiscale_discrs),
+                    multiscale_params=tuple(ms_params),
+                    vgg_module=self.vgg, vgg_params=vgg_params,
+                    cond=cond,
+                    video_contains_first_frame=video_contains_first_frame,
+                    train=train,
+                    use_vgg=self.use_vgg,
+                    has_gan=has_gan,
+                    has_multiscale_gan=has_ms,
+                    perceptual_loss_weight=cfg.perceptual_loss_weight,
+                    quantizer_aux_loss_weight=cfg.quantizer_aux_loss_weight,
+                    adversarial_loss_weight=adversarial_loss_weight,
+                    multiscale_adversarial_loss_weight=multiscale_adversarial_loss_weight,
+                )
+                return total, breakdown
+
+            fn = self._jitted(
+                ('tokenizer_loss', video_contains_first_frame, has_gan,
+                 has_ms, adversarial_loss_weight,
+                 multiscale_adversarial_loss_weight),
+                _tl, static_argnames=('train',))
+            return fn(self.params, self.discr_params,
+                      tuple(self.multiscale_params), self.vgg_params, video,
+                      cond, rng, train)
+
+        # plain encode/quantize/(decode) path
+        def _roundtrip(params, video, cond, vcff, train):
+            return self.module.apply({'params': params}, video, cond=cond,
+                                     video_contains_first_frame=vcff,
+                                     train=train)
+
+        fn = self._jitted('roundtrip', _roundtrip,
+                          static_argnames=('vcff', 'train'))
+        recon, qout = fn(self.params, video, cond,
+                         video_contains_first_frame, False)
+
+        if channel_first:
+            recon = _to_channels_first(recon)
+            if is_image:
+                recon = recon[:, :, 0]
+        elif is_image:
+            recon = recon[:, 0]
+
+        if return_codes and not return_recon:
+            return qout.indices
+        if return_codes:
+            return qout.indices, recon
+        return recon
+
+    def _forward_recon(self, video, cond, video_contains_first_frame):
+        def _roundtrip(params, video, cond, vcff):
+            recon, _ = self.module.apply(
+                {'params': params}, video, cond=cond,
+                video_contains_first_frame=vcff)
+            return recon
+
+        fn = self._jitted('recon_only', _roundtrip, static_argnames=('vcff',))
+        return fn(self.params, video, cond, video_contains_first_frame)
+
+    # -- params surface (reference magvit2_pytorch.py:1460-1474) -------------
+
+    def parameters(self):
+        """Generator parameter pytree (excludes discriminator + VGG)."""
+        return self.params
+
+    def discr_parameters(self):
+        return self.discr_params
+
+    def copy_for_eval(self):
+        """Lightweight copy without discriminator / VGG (reference
+        magvit2_pytorch.py:1476-1485)."""
+        cfg = dataclasses.replace(self.config, use_gan=False,
+                                  perceptual_loss_weight=0.0,
+                                  multiscale_discrs=tuple())
+        clone = object.__new__(VideoTokenizer)
+        clone.config = cfg
+        clone._parsed = cfg.parsed()
+        clone.module = TokenizerModule(cfg)
+        clone.params = self.params
+        clone.use_vgg = False
+        clone.vgg = None
+        clone.vgg_params = None
+        clone.use_gan = False
+        clone.has_gan = False
+        clone.has_multiscale_gan = False
+        clone.has_multiscale_discrs = False
+        clone.discr = None
+        clone.discr_params = None
+        clone.multiscale_discrs = []
+        clone.multiscale_params = []
+        clone._rng = jax.random.PRNGKey(0)
+        clone._step = 0
+        clone._jit_cache = {}
+        return clone
+
+    # -- persistence (reference magvit2_pytorch.py:1443-1520) ---------------
+
+    def state_dict(self):
+        """Param pytrees minus VGG (reference @remove_vgg)."""
+        out = {'params': jax.tree.map(np.asarray, self.params)}
+        if exists(self.discr_params):
+            out['discr_params'] = jax.tree.map(np.asarray, self.discr_params)
+        if self.multiscale_params:
+            out['multiscale_params'] = [
+                jax.tree.map(np.asarray, p) for p in self.multiscale_params]
+        return out
+
+    def load_state_dict(self, state):
+        self.params = state['params']
+        if 'discr_params' in state and exists(self.discr):
+            self.discr_params = state['discr_params']
+        if 'multiscale_params' in state:
+            self.multiscale_params = list(state['multiscale_params'])
+
+    def save(self, path, overwrite: bool = True):
+        path = Path(path)
+        assert overwrite or not path.exists(), f'{path} already exists'
+        pkg = {
+            'version': __version__,
+            'config': self.config.to_json(),
+            **self.state_dict(),
+        }
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(serialization.msgpack_serialize(pkg))
+
+    def load(self, path, strict: bool = True):
+        path = Path(path)
+        assert path.exists()
+        pkg = serialization.msgpack_restore(path.read_bytes())
+        version = pkg.get('version')
+        if exists(version):
+            print(f'loading checkpointed tokenizer from version {version}')
+        self.load_state_dict(pkg)
+
+    @classmethod
+    def init_and_load_from(cls, path, strict: bool = True):
+        path = Path(path)
+        assert path.exists()
+        pkg = serialization.msgpack_restore(path.read_bytes())
+        assert 'config' in pkg, 'model configs were not found in this saved checkpoint'
+        config = TokenizerConfig.from_json(pkg['config'])
+        tokenizer = cls(**dataclasses.asdict(config))
+        tokenizer.load(path, strict=strict)
+        return tokenizer
+
+    def load_vgg_weights(self, path):
+        """Load torchvision vgg16 weights (a .pth state_dict or an .npz of the
+        same keys) into the perceptual net."""
+        path = str(path)
+        if path.endswith('.npz'):
+            state = dict(np.load(path))
+        else:
+            import torch
+            state = torch.load(path, map_location='cpu', weights_only=True)
+        self.vgg_params = load_torch_vgg16_state_dict(state)
+
+
+class MagViT2:
+    """Identity stub for export parity — the reference's planned MaskGit stage
+    was never built (magvit2_pytorch.py:1900-1905, README.md:126)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, x):
+        return x
+
+    forward = __call__

@@ -1,0 +1,429 @@
+"""The tokenizer network as a pure flax module (encoder → LFQ/FSQ → decoder).
+
+TPU-native rebuild of the reference ``VideoTokenizer`` nn.Module core
+(magvit2_pytorch.py:1045-1654): layer-spec DSL with all 11 layer types, causal
+first-frame padding, optional separate first-frame encoding, image/video
+polymorphic forward. Layout is channels-last ``(B, T, H, W, C)`` throughout.
+
+Loss machinery (GAN/VGG/adaptive weights) lives outside this module in
+``training/losses.py`` — the module stays a pure encode/quantize/decode graph,
+which keeps generator vs discriminator parameter sets separable by
+construction (the reference instead overrides ``parameters()`` to carve the
+discriminator out, magvit2_pytorch.py:1460-1474).
+
+Fixed reference quirks (SURVEY.md §2.6):
+- #5: gateloop kwargs are actually forwarded.
+- #7 (new): cond attention layers receive the *expanded* cond dim, matching
+  the cond-MLP stem output (the reference wires the un-expanded dim_cond into
+  AdaptiveRMSNorm, magvit2_pytorch.py:1249, which asserts on the expanded
+  vector at runtime when dim_cond_expansion_factor != 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from magvit2_pytorch_tpu.models.layerspec import LayerSpec, ParsedLayers, parse_layers
+from magvit2_pytorch_tpu.ops.attention import (
+    LinearSpaceAttention,
+    SpaceAttention,
+    TimeAttention,
+)
+from magvit2_pytorch_tpu.ops.basic import (
+    FeedForward,
+    Linear,
+    Residual,
+    Sequential,
+    TokenShift,
+)
+from magvit2_pytorch_tpu.ops.conv import CausalConv3d, SameConv2d
+from magvit2_pytorch_tpu.ops.gateloop import SimpleGateLoopLayer, ToTimeSequence
+from magvit2_pytorch_tpu.ops.norms import LayerNorm
+from magvit2_pytorch_tpu.ops.quantizers import FSQ, LFQ
+from magvit2_pytorch_tpu.ops.resample import (
+    ResidualUnit,
+    ResidualUnitMod,
+    SpatialDownsample2x,
+    SpatialUpsample2x,
+    TimeDownsample2x,
+    TimeUpsample2x,
+)
+from magvit2_pytorch_tpu.utils.helpers import default, exists
+
+
+@dataclasses.dataclass(frozen=True)
+class TokenizerConfig:
+    """JSON-serializable constructor config (replaces the reference's pickled
+    ``locals()`` blob, magvit2_pytorch.py:1095-1100; SURVEY.md §5.6)."""
+
+    image_size: int
+    layers: Tuple = (('residual',), ('residual',), ('residual',))
+    residual_conv_kernel_size: int = 3
+    num_codebooks: int = 1
+    codebook_size: Optional[int] = None
+    channels: int = 3
+    init_dim: int = 64
+    max_dim: float = float('inf')
+    dim_cond: Optional[int] = None
+    dim_cond_expansion_factor: float = 4.0
+    input_conv_kernel_size: Tuple[int, int, int] = (7, 7, 7)
+    output_conv_kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    pad_mode: str = 'constant'
+    lfq_entropy_loss_weight: float = 0.1
+    lfq_commitment_loss_weight: float = 1.0
+    lfq_diversity_gamma: float = 2.5
+    lfq_spherical: bool = False
+    quantizer_aux_loss_weight: float = 1.0
+    lfq_soft_clamp_input_value: Optional[float] = 10.0
+    use_fsq: bool = False
+    fsq_levels: Optional[Tuple[int, ...]] = None
+    attn_dim_head: int = 32
+    attn_heads: int = 8
+    attn_dropout: float = 0.0
+    linear_attn_dim_head: int = 8
+    linear_attn_heads: int = 16
+    vgg_weights: Optional[str] = None
+    perceptual_loss_weight: float = 1e-1
+    discr_kwargs: Optional[dict] = None
+    multiscale_discrs: Tuple[dict, ...] = tuple()
+    use_gan: bool = True
+    adversarial_loss_weight: float = 1.0
+    grad_penalty_loss_weight: float = 10.0
+    multiscale_adversarial_loss_weight: float = 1.0
+    flash_attn: bool = True
+    separate_first_frame_encoding: bool = False
+
+    def __post_init__(self):
+        # normalize layer defs to tuples for hashability / JSON round-trip
+        object.__setattr__(self, 'layers', tuple(
+            tuple(l) if isinstance(l, (list, tuple)) else (l,)
+            for l in self.layers))
+        for key in ('input_conv_kernel_size', 'output_conv_kernel_size'):
+            object.__setattr__(self, key, tuple(getattr(self, key)))
+        if exists(self.fsq_levels):
+            object.__setattr__(self, 'fsq_levels', tuple(self.fsq_levels))
+        if exists(self.multiscale_discrs):
+            object.__setattr__(self, 'multiscale_discrs', tuple(
+                dict(d) if not isinstance(d, dict) else d
+                for d in self.multiscale_discrs))
+        if not self.use_fsq:
+            assert exists(self.codebook_size) and not exists(self.fsq_levels), (
+                'if use_fsq=False, `codebook_size` must be set (and not '
+                '`fsq_levels`)')
+        else:
+            assert not exists(self.codebook_size) and exists(self.fsq_levels), (
+                'if use_fsq=True, `fsq_levels` must be set (and not '
+                '`codebook_size`)')
+
+    def parsed(self) -> ParsedLayers:
+        return parse_layers(
+            self.layers, init_dim=self.init_dim, image_size=self.image_size,
+            max_dim=self.max_dim, dim_cond=self.dim_cond)
+
+    @property
+    def expanded_dim_cond(self) -> Optional[int]:
+        if not exists(self.dim_cond):
+            return None
+        return int(self.dim_cond * self.dim_cond_expansion_factor)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        if d['max_dim'] == float('inf'):
+            d['max_dim'] = 'inf'
+        return json.dumps(d)
+
+    @classmethod
+    def from_json(cls, s: str) -> 'TokenizerConfig':
+        d = json.loads(s)
+        if d.get('max_dim') == 'inf':
+            d['max_dim'] = float('inf')
+        return cls(**d)
+
+
+def _attend_backend(config: TokenizerConfig) -> Optional[str]:
+    # flash_attn=True -> 'auto' dispatch (flash on TPU when profitable),
+    # mirroring the reference's flash/math gate (attend.py:84)
+    return None if config.flash_attn else 'xla'
+
+
+def _build_encoder_layer(spec: LayerSpec, config: TokenizerConfig, name: str):
+    return _build_layer(spec, config, name, encoder=True)
+
+
+def _build_decoder_layer(spec: LayerSpec, config: TokenizerConfig, name: str):
+    return _build_layer(spec, config, name, encoder=False)
+
+
+def _build_layer(spec: LayerSpec, config: TokenizerConfig, name: str, encoder: bool):
+    t = spec.layer_type
+    k = config.residual_conv_kernel_size
+    dim, dim_out = spec.dim_in, spec.dim_out
+    cond_dim = config.expanded_dim_cond
+    backend = _attend_backend(config)
+
+    if t == 'residual':
+        return ResidualUnit(dim, k, pad_mode=config.pad_mode, name=name)
+
+    if t == 'consecutive_residual':
+        (num,) = spec.params
+        return Sequential([
+            ResidualUnit(dim, k, pad_mode=config.pad_mode)
+            for _ in range(num)
+        ], name=name)
+
+    if t == 'cond_residual':
+        return ResidualUnitMod(
+            dim, k, dim_cond=cond_dim, pad_mode=config.pad_mode, name=name)
+
+    if t == 'compress_space':
+        if encoder:
+            return SpatialDownsample2x(dim, dim_out, name=name)
+        return SpatialUpsample2x(dim_out, dim, name=name)
+
+    if t == 'compress_time':
+        if encoder:
+            return TimeDownsample2x(dim, dim_out, name=name)
+        return TimeUpsample2x(dim_out, dim, name=name)
+
+    if t in ('attend_space', 'cond_attend_space'):
+        dc = cond_dim if t.startswith('cond') else None
+        return Sequential([
+            Residual(SpaceAttention(
+                dim=dim, dim_cond=dc, dim_head=config.attn_dim_head,
+                heads=config.attn_heads, backend=backend)),
+            Residual(FeedForward(dim, dim_cond=dc)),
+        ], name=name)
+
+    if t in ('linear_attend_space', 'cond_linear_attend_space'):
+        dc = cond_dim if t.startswith('cond') else None
+        if t.startswith('cond'):
+            attn = LinearSpaceAttention(
+                dim=dim, dim_cond=dc, dim_head=config.attn_dim_head,
+                heads=config.attn_heads)
+        else:
+            attn = LinearSpaceAttention(
+                dim=dim, dim_head=config.linear_attn_dim_head,
+                heads=config.linear_attn_heads)
+        return Sequential([
+            Residual(attn),
+            Residual(FeedForward(dim, dim_cond=dc)),
+        ], name=name)
+
+    if t == 'gateloop_time':
+        # quirk #5 fixed: use_heinsen kwarg actually reaches the layer
+        return ToTimeSequence(
+            Residual(SimpleGateLoopLayer(dim=dim, use_heinsen=False)), name=name)
+
+    if t in ('attend_time', 'cond_attend_time'):
+        dc = cond_dim if t.startswith('cond') else None
+        return Sequential([
+            Residual(TokenShift(TimeAttention(
+                dim=dim, dim_cond=dc, dim_head=config.attn_dim_head,
+                heads=config.attn_heads, causal=True, backend=backend))),
+            Residual(TokenShift(FeedForward(dim, dim_cond=dc))),
+        ], name=name)
+
+    raise ValueError(f'unknown layer type {t}')
+
+
+class TokenizerModule(nn.Module):
+    """Pure encoder/quantizer/decoder graph. All methods take channels-last
+    video ``(B, T, H, W, C)``."""
+
+    config: TokenizerConfig
+
+    def setup(self):
+        cfg = self.config
+        parsed = cfg.parsed()
+        self.parsed_layers = parsed
+
+        self.conv_in = CausalConv3d(
+            cfg.init_dim, cfg.input_conv_kernel_size, pad_mode=cfg.pad_mode,
+            name='conv_in')
+        self.conv_out = CausalConv3d(
+            cfg.channels, cfg.output_conv_kernel_size, pad_mode=cfg.pad_mode,
+            name='conv_out')
+
+        if cfg.separate_first_frame_encoding:
+            self.conv_in_first_frame = SameConv2d(
+                cfg.init_dim, cfg.input_conv_kernel_size[-2:],
+                name='conv_in_first_frame')
+            self.conv_out_first_frame = SameConv2d(
+                cfg.channels, cfg.output_conv_kernel_size[-2:],
+                name='conv_out_first_frame')
+
+        self.encoder_layers = [
+            _build_encoder_layer(spec, cfg, name=f'encoder_{spec.index}')
+            for spec in parsed.specs
+        ]
+        # decoder applies the mirror stack in reverse (reference insert(0),
+        # magvit2_pytorch.py:1315); module names keep the encoder index so
+        # checkpoints read naturally
+        self.decoder_layers = [
+            _build_decoder_layer(spec, cfg, name=f'decoder_{spec.index}')
+            for spec in reversed(parsed.specs)
+        ]
+
+        self.final_norm = LayerNorm(parsed.final_dim, name='final_norm')
+
+        if parsed.has_cond:
+            self.encoder_cond_in = Linear(
+                cfg.expanded_dim_cond, name='encoder_cond_in')
+            self.decoder_cond_in = Linear(
+                cfg.expanded_dim_cond, name='decoder_cond_in')
+
+        if not cfg.use_fsq:
+            self.quantizers = LFQ(
+                dim=parsed.final_dim,
+                codebook_size=cfg.codebook_size,
+                num_codebooks=cfg.num_codebooks,
+                entropy_loss_weight=cfg.lfq_entropy_loss_weight,
+                commitment_loss_weight=cfg.lfq_commitment_loss_weight,
+                diversity_gamma=cfg.lfq_diversity_gamma,
+                soft_clamp_input_value=cfg.lfq_soft_clamp_input_value,
+                spherical=cfg.lfq_spherical,
+                name='quantizers',
+            )
+        else:
+            self.quantizers = FSQ(
+                levels=cfg.fsq_levels,
+                dim=parsed.final_dim,
+                num_codebooks=cfg.num_codebooks,
+                name='quantizers',
+            )
+
+    # -- derived static properties -------------------------------------------
+
+    @property
+    def time_downsample_factor(self) -> int:
+        return self.config.parsed().time_downsample_factor
+
+    @property
+    def time_padding(self) -> int:
+        return self.time_downsample_factor - 1
+
+    @property
+    def fmap_size(self) -> int:
+        return self.config.parsed().fmap_size
+
+    # -- cond plumbing -------------------------------------------------------
+
+    def _prep_cond(self, cond, batch, encoder: bool):
+        parsed = self.parsed_layers
+        assert (not parsed.has_cond) or exists(cond), (
+            '`cond` must be passed in since conditionable layers were '
+            'specified')
+        if not exists(cond):
+            return None
+        assert cond.shape == (batch, self.config.dim_cond)
+        stem = self.encoder_cond_in if encoder else self.decoder_cond_in
+        return jax.nn.silu(stem(cond))
+
+    # -- core graph ----------------------------------------------------------
+
+    def encode(self, video, cond=None, video_contains_first_frame: bool = True):
+        """Video ``(B, T, H, W, C)`` -> continuous latents
+        ``(B, T', H', W', D)`` (pre-quantization). Mirrors reference encode
+        (magvit2_pytorch.py:1522-1576)."""
+        cfg = self.config
+        encode_first_frame_separately = (
+            cfg.separate_first_frame_encoding and video_contains_first_frame)
+
+        tp = self.time_padding
+        if video_contains_first_frame:
+            video_len = video.shape[1]
+            video = jnp.pad(video, [(0, 0), (tp, 0), (0, 0), (0, 0), (0, 0)])
+
+        cond = self._prep_cond(cond, video.shape[0], encoder=True)
+
+        if encode_first_frame_separately:
+            first_frame = video[:, tp]
+            rest = video[:, tp + 1:]
+            first = self.conv_in_first_frame(first_frame)
+            x = self.conv_in(rest)
+            x = jnp.concatenate([first[:, None], x], axis=1)
+            x = jnp.pad(x, [(0, 0), (tp, 0), (0, 0), (0, 0), (0, 0)])
+        else:
+            x = self.conv_in(video)
+
+        for layer, has_cond in zip(self.encoder_layers,
+                                   self.parsed_layers.has_cond_across_layers):
+            kwargs = dict(cond=cond) if (has_cond and exists(cond)) else dict()
+            x = self._apply_layer(layer, x, **kwargs)
+
+        return self.final_norm(x)
+
+    def quantize(self, x, train: bool = False):
+        return self.quantizers(x, train=train)
+
+    def indices_to_codes(self, indices):
+        return self.quantizers.indices_to_codes(indices)
+
+    def decode_features(self, quantized, cond=None):
+        """Quantized latents -> pre-conv_out feature map (still time-padded).
+        Split from pixel projection so the trainer can differentiate w.r.t.
+        only the final conv kernel for the adaptive adversarial weight
+        (reference magvit2_pytorch.py:1815-1841) without a full backward."""
+        cond = self._prep_cond(cond, quantized.shape[0], encoder=False)
+
+        x = quantized
+        # decoder_layers are stored reversed already; cond flags mirror too
+        for layer, has_cond in zip(
+                self.decoder_layers,
+                reversed(self.parsed_layers.has_cond_across_layers)):
+            kwargs = dict(cond=cond) if (has_cond and exists(cond)) else dict()
+            x = self._apply_layer(layer, x, **kwargs)
+        return x
+
+    def decode_pixels(self, x, video_contains_first_frame: bool = True):
+        """Pre-conv_out features -> pixel video (reference decode tail,
+        magvit2_pytorch.py:1631-1649)."""
+        cfg = self.config
+        tp = self.time_padding
+        decode_first_frame_separately = (
+            cfg.separate_first_frame_encoding and video_contains_first_frame)
+
+        if decode_first_frame_separately:
+            xff = x[:, tp]
+            rest = x[:, tp + 1:]
+            out = self.conv_out(rest)
+            outff = self.conv_out_first_frame(xff)
+            video = jnp.concatenate([outff[:, None], out], axis=1)
+        else:
+            video = self.conv_out(x)
+            if video_contains_first_frame:
+                video = video[:, tp:]
+
+        return video
+
+    def decode(self, quantized, cond=None, video_contains_first_frame: bool = True):
+        x = self.decode_features(quantized, cond=cond)
+        return self.decode_pixels(
+            x, video_contains_first_frame=video_contains_first_frame)
+
+    def __call__(self, video, cond=None, video_contains_first_frame: bool = True,
+                 train: bool = False):
+        """Full round trip; returns (recon, indices, aux_loss, breakdown)."""
+        x = self.encode(video, cond=cond,
+                        video_contains_first_frame=video_contains_first_frame)
+        qout = self.quantize(x, train=train)
+        recon = self.decode(
+            qout.quantized, cond=cond,
+            video_contains_first_frame=video_contains_first_frame)
+        return recon, qout
+
+    @staticmethod
+    def _apply_layer(layer, x, **kwargs):
+        # the reference tracks conditioning as a *running* flag, so layers
+        # after the first cond layer are handed `cond` whether or not they use
+        # it (magvit2_pytorch.py:1565-1572) — filter by acceptance
+        from magvit2_pytorch_tpu.ops.basic import _accepts_kwargs
+        if not kwargs or not _accepts_kwargs(layer, kwargs):
+            return layer(x)
+        return layer(x, **kwargs)
