@@ -1,0 +1,240 @@
+"""Host-side datasets + loader feeding the TPU trainer.
+
+Rebuild of reference data.py:74-308: ``ImageDataset`` (jpg/jpeg/png, resize +
+random hflip + center crop), ``VideoDataset`` (gif/mp4, resize + center crop +
+cast to ``num_frames``), and a ``DataLoader`` with background-thread prefetch
+(the torch-DataLoader-worker equivalent; decode releases the GIL inside
+PIL/OpenCV so threads overlap with TPU steps).
+
+Arrays are channels-last float32 [0,1]: image ``(H, W, C)``, video
+``(T, H, W, C)``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+from magvit2_pytorch_tpu.data.video_io import (
+    CHANNEL_TO_MODE,
+    cast_num_frames,
+    gif_to_array,
+    video_to_array,
+)
+from magvit2_pytorch_tpu.utils.helpers import default, exists, identity
+
+
+def _resize_shorter_side(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    if w < h:
+        nw, nh = size, max(1, round(h * size / w))
+    else:
+        nw, nh = max(1, round(w * size / h)), size
+    return img.resize((nw, nh), Image.BILINEAR)
+
+
+def _center_crop_pil(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left = (w - size) // 2
+    top = (h - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+class ImageDataset:
+    """reference data.py:74-112."""
+
+    def __init__(self, folder, image_size: int, channels: int = 3,
+                 convert_image_to: Optional[str] = None,
+                 exts=('jpg', 'jpeg', 'png'), random_hflip: bool = True,
+                 seed: int = 0):
+        folder = Path(folder)
+        assert folder.is_dir(), f'{folder} must be a folder containing images'
+        self.folder = folder
+        self.image_size = image_size
+        self.random_hflip = random_hflip
+        self._rng = np.random.default_rng(seed)
+
+        exts = list(exts) + [e.upper() for e in exts]
+        self.paths = [p for ext in exts for p in folder.glob(f'**/*.{ext}')]
+        print(f'{len(self.paths)} training samples found at {folder}')
+
+        self.convert_image_to = default(
+            convert_image_to, CHANNEL_TO_MODE.get(channels))
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index) -> np.ndarray:
+        img = Image.open(self.paths[index])
+        if exists(self.convert_image_to) and img.mode != self.convert_image_to:
+            img = img.convert(self.convert_image_to)
+        img = _resize_shorter_side(img, self.image_size)
+        if self.random_hflip and self._rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        img = _center_crop_pil(img, self.image_size)
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return arr
+
+
+def _resize_crop_video(arr: np.ndarray, size: int) -> np.ndarray:
+    """(T, H, W, C) -> resize shorter side to ``size`` + center crop."""
+    import cv2
+
+    t, h, w, c = arr.shape
+    if h < w:
+        nh, nw = size, max(1, round(w * size / h))
+    else:
+        nh, nw = max(1, round(h * size / w)), size
+    out = np.empty((t, nh, nw, c), np.float32)
+    for i in range(t):
+        frame = cv2.resize(arr[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+        out[i] = frame.reshape(nh, nw, c)
+    top = (nh - size) // 2
+    left = (nw - size) // 2
+    return out[:, top:top + size, left:left + size]
+
+
+class VideoDataset:
+    """reference data.py:234-284."""
+
+    def __init__(self, folder, image_size: int, channels: int = 3,
+                 num_frames: int = 17, force_num_frames: bool = True,
+                 exts=('gif', 'mp4')):
+        folder = Path(folder)
+        assert folder.is_dir(), f'{folder} must be a folder containing videos'
+        self.folder = folder
+        self.image_size = image_size
+        self.channels = channels
+        self.paths = [p for ext in exts for p in folder.glob(f'**/*.{ext}')]
+        print(f'{len(self.paths)} training samples found at {folder}')
+
+        self.cast_num_frames_fn = (
+            partial(cast_num_frames, frames=num_frames)
+            if force_num_frames else identity)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index) -> np.ndarray:
+        path = self.paths[index]
+        ext = path.suffix
+        if ext == '.gif':
+            arr = gif_to_array(str(path), channels=self.channels)
+        elif ext == '.mp4':
+            arr = video_to_array(str(path))
+        else:
+            raise ValueError(f'unknown extension {ext}')
+        arr = _resize_crop_video(arr, self.image_size)
+        return self.cast_num_frames_fn(arr)
+
+
+def collate_arrays_and_strings(items):
+    """Stack arrays; pass string tuples through (reference
+    collate_tensors_and_strings, data.py:288-305)."""
+    if all(isinstance(it, np.ndarray) for it in items):
+        return (np.stack(items),)
+
+    out = []
+    for datum in zip(*items):
+        if all(isinstance(d, np.ndarray) for d in datum):
+            out.append(np.stack(datum))
+        elif all(isinstance(d, str) for d in datum):
+            out.append(list(datum))
+        else:
+            raise ValueError('detected invalid type being passed from dataset')
+    return tuple(out)
+
+
+class DataLoader:
+    """Shuffled, batched, background-prefetched loader."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 prefetch: int = 2, collate_fn=collate_arrays_and_strings):
+        assert len(dataset) > 0, 'dataset is empty'
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.collate_fn = collate_fn
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        end = (len(order) // bs) * bs if self.drop_last else len(order)
+        for start in range(0, end, bs):
+            idx = order[start:start + bs]
+            if len(idx) == 0:
+                continue
+            yield self.collate_fn([self.dataset[int(i)] for i in idx])
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def random_split(dataset, lengths, seed: int = 42):
+    """Deterministic random split (reference uses torch random_split seeded 42,
+    trainer.py:136)."""
+    assert sum(lengths) == len(dataset)
+    order = np.random.default_rng(seed).permutation(len(dataset))
+
+    class _Subset:
+        def __init__(self, ds, indices):
+            self.ds, self.indices = ds, indices
+
+        def __len__(self):
+            return len(self.indices)
+
+        def __getitem__(self, i):
+            return self.ds[int(self.indices[i])]
+
+    out = []
+    offset = 0
+    for n in lengths:
+        out.append(_Subset(dataset, order[offset:offset + n]))
+        offset += n
+    return out
+
+
+def cycle(dl):
+    while True:
+        for data in dl:
+            yield data
