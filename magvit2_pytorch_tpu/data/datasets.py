@@ -160,6 +160,9 @@ class DataLoader:
                  drop_last: bool = True, seed: int = 0,
                  prefetch: int = 2, collate_fn=collate_arrays_and_strings):
         assert len(dataset) > 0, 'dataset is empty'
+        assert not (drop_last and len(dataset) < batch_size), (
+            f'dataset has {len(dataset)} samples — fewer than batch_size '
+            f'{batch_size} with drop_last: every epoch would be empty')
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -236,5 +239,11 @@ def random_split(dataset, lengths, seed: int = 42):
 
 def cycle(dl):
     while True:
+        got_any = False
         for data in dl:
+            got_any = True
             yield data
+        if not got_any:
+            raise RuntimeError(
+                'dataloader produced no batches (dataset smaller than '
+                'batch_size with drop_last?) — refusing to spin forever')

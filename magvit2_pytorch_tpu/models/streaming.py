@@ -1,0 +1,161 @@
+"""Chunked causal streaming tokenize/decode (BASELINE config 5).
+
+Long-video inference without whole-clip memory: every time-causal op carries
+its history in a flax 'cache' collection (the last ``k_t - 1`` input frames per
+causal conv, the stride phase of temporal downsamplers, the shift frame of
+TokenShift), so chunk-by-chunk encoding/decoding is **bit-identical** to a
+single whole-clip pass — verified in tests/test_streaming.py. This is the
+carried-causal-state design SURVEY.md §5.7 prescribes; the reference can only
+tokenize whole clips.
+
+Chunk grammar: the first chunk holds the first frame plus a multiple of
+``time_downsample_factor`` frames (e.g. 1 + 16); every later chunk holds a
+multiple of ``time_downsample_factor``. Restrictions (round 1):
+``attend_time`` / ``gateloop_time`` layers need kv/scan-state carry and are
+rejected; spatial + ``attend_space`` layers stream fine (they are per-frame).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from magvit2_pytorch_tpu.models.tokenizer_module import TokenizerModule
+from magvit2_pytorch_tpu.utils.helpers import divisible_by, exists
+
+
+class StreamingSession:
+    """One stateful encode and/or decode stream over a ``VideoTokenizer``."""
+
+    def __init__(self, tokenizer):
+        self.tokenizer = tokenizer
+        self.module: TokenizerModule = tokenizer.module
+        self.params = tokenizer.params
+        self.tp = tokenizer.time_padding
+        self.tdf = tokenizer.time_downsample_factor
+
+        self._enc_cache = None
+        self._dec_cache = None
+        self._enc_chunks = 0
+        self._dec_chunks = 0
+        self._jit_cache = {}
+
+    # -- jit helpers ---------------------------------------------------------
+
+    def _jitted(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    # -- encode side ---------------------------------------------------------
+
+    def encode_chunk(self, chunk, quantize: bool = True):
+        """chunk: (B, T, H, W, C). First chunk: T = 1 + k*tdf (contains the
+        first frame); later chunks: T = k*tdf. Returns code indices (or raw
+        latents with quantize=False)."""
+        chunk = jnp.asarray(chunk)
+        first = self._enc_chunks == 0
+
+        if first:
+            assert divisible_by(chunk.shape[1] - 1, self.tdf), (
+                f'first chunk must hold 1 + k*{self.tdf} frames')
+            pad = [(0, 0), (self.tp, 0)] + [(0, 0)] * (chunk.ndim - 2)
+            chunk = jnp.pad(chunk, pad)
+        else:
+            assert divisible_by(chunk.shape[1], self.tdf), (
+                f'chunks must hold multiples of {self.tdf} frames')
+
+        def _enc(params, cache, chunk):
+            variables = {'params': params}
+            if exists(cache):
+                variables['cache'] = cache
+            latents, mutated = self.module.apply(
+                variables, chunk, video_contains_first_frame=False,
+                streaming=True, mutable=['cache'],
+                method=TokenizerModule.encode)
+            return latents, mutated['cache']
+
+        fn = self._jitted(('enc', chunk.shape, exists(self._enc_cache)), _enc)
+        latents, self._enc_cache = fn(self.params, self._enc_cache, chunk)
+        self._enc_chunks += 1
+
+        if not quantize:
+            return latents
+        qout = self.module.apply({'params': self.params}, latents,
+                                 method=TokenizerModule.quantize)
+        return qout.indices
+
+    # -- decode side ---------------------------------------------------------
+
+    def decode_chunk(self, codes):
+        """codes: int indices (B, T', H', W') for one chunk (first chunk has
+        (tp + 1 + k*tdf)/tdf latent frames). Returns pixel frames; the first
+        chunk's left time padding is sliced off."""
+        codes = jnp.asarray(codes)
+        first = self._dec_chunks == 0
+
+        def _dec(params, cache, codes):
+            quantized = self.module.apply(
+                {'params': params}, codes,
+                method=TokenizerModule.indices_to_codes)
+            variables = {'params': params}
+            if exists(cache):
+                variables['cache'] = cache
+            recon, mutated = self.module.apply(
+                variables, quantized, video_contains_first_frame=False,
+                streaming=True, mutable=['cache'],
+                method=TokenizerModule.decode)
+            return recon, mutated['cache']
+
+        fn = self._jitted(('dec', codes.shape, exists(self._dec_cache)), _dec)
+        recon, self._dec_cache = fn(self.params, self._dec_cache, codes)
+        self._dec_chunks += 1
+
+        if first:
+            recon = recon[:, self.tp:]
+        return recon
+
+
+def tokenize_streaming(tokenizer, video, chunk_frames: Optional[int] = None):
+    """Convenience: chunked tokenize of a whole (B, T, H, W, C) video.
+    ``chunk_frames`` must be a multiple of time_downsample_factor (default:
+    4 * tdf)."""
+    tdf = tokenizer.time_downsample_factor
+    chunk_frames = chunk_frames or 4 * tdf
+    assert divisible_by(chunk_frames, tdf)
+
+    t = video.shape[1]
+    assert divisible_by(t - 1, tdf), (
+        'video must hold 1 + k*tdf frames (first-frame convention)')
+
+    session = StreamingSession(tokenizer)
+    codes = []
+    first_len = 1 + min(chunk_frames, t - 1)
+    codes.append(session.encode_chunk(video[:, :first_len]))
+    pos = first_len
+    while pos < t:
+        end = min(pos + chunk_frames, t)
+        codes.append(session.encode_chunk(video[:, pos:end]))
+        pos = end
+    return jnp.concatenate(codes, axis=1)
+
+
+def decode_streaming(tokenizer, codes, chunk_latents: Optional[int] = None):
+    """Convenience: chunked decode of (B, T', H', W') code indices."""
+    tdf = tokenizer.time_downsample_factor
+    tp = tokenizer.time_padding
+    chunk_latents = chunk_latents or 4
+
+    t = codes.shape[1]
+    session = StreamingSession(tokenizer)
+    frames = []
+    first_len = min(chunk_latents + (tp + 1) // tdf, t)
+    frames.append(session.decode_chunk(codes[:, :first_len]))
+    pos = first_len
+    while pos < t:
+        end = min(pos + chunk_latents, t)
+        frames.append(session.decode_chunk(codes[:, pos:end]))
+        pos = end
+    return jnp.concatenate(frames, axis=1)

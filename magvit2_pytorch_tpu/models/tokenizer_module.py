@@ -327,17 +327,30 @@ class TokenizerModule(nn.Module):
 
     # -- core graph ----------------------------------------------------------
 
-    def encode(self, video, cond=None, video_contains_first_frame: bool = True):
+    def encode(self, video, cond=None, video_contains_first_frame: bool = True,
+               streaming: bool = False):
         """Video ``(B, T, H, W, C)`` -> continuous latents
         ``(B, T', H', W', D)`` (pre-quantization). Mirrors reference encode
-        (magvit2_pytorch.py:1522-1576)."""
+        (magvit2_pytorch.py:1522-1576).
+
+        ``streaming=True``: chunked causal encoding — apply with
+        ``mutable=['cache']``; the caller owns first-chunk time padding
+        (see models/streaming.py) and passes
+        ``video_contains_first_frame=False``."""
         cfg = self.config
+        if streaming:
+            assert not self.parsed_layers.has_cond, 'streaming + cond: TODO'
+            assert not cfg.separate_first_frame_encoding
+            for spec in self.parsed_layers.specs:
+                assert spec.layer_type not in ('attend_time', 'gateloop_time'), (
+                    f'{spec.layer_type} is not streamable yet (needs kv/scan '
+                    'state carry)')
+
         encode_first_frame_separately = (
             cfg.separate_first_frame_encoding and video_contains_first_frame)
 
         tp = self.time_padding
-        if video_contains_first_frame:
-            video_len = video.shape[1]
+        if video_contains_first_frame and not streaming:
             video = jnp.pad(video, [(0, 0), (tp, 0), (0, 0), (0, 0), (0, 0)])
 
         cond = self._prep_cond(cond, video.shape[0], encoder=True)
@@ -350,11 +363,13 @@ class TokenizerModule(nn.Module):
             x = jnp.concatenate([first[:, None], x], axis=1)
             x = jnp.pad(x, [(0, 0), (tp, 0), (0, 0), (0, 0), (0, 0)])
         else:
-            x = self.conv_in(video)
+            x = self.conv_in(video, streaming=streaming)
 
         for layer, has_cond in zip(self.encoder_layers,
                                    self.parsed_layers.has_cond_across_layers):
             kwargs = dict(cond=cond) if (has_cond and exists(cond)) else dict()
+            if streaming:
+                kwargs['streaming'] = True
             x = self._apply_layer(layer, x, **kwargs)
 
         return self.final_norm(x)
@@ -365,7 +380,7 @@ class TokenizerModule(nn.Module):
     def indices_to_codes(self, indices):
         return self.quantizers.indices_to_codes(indices)
 
-    def decode_features(self, quantized, cond=None):
+    def decode_features(self, quantized, cond=None, streaming: bool = False):
         """Quantized latents -> pre-conv_out feature map (still time-padded).
         Split from pixel projection so the trainer can differentiate w.r.t.
         only the final conv kernel for the adaptive adversarial weight
@@ -378,16 +393,21 @@ class TokenizerModule(nn.Module):
                 self.decoder_layers,
                 reversed(self.parsed_layers.has_cond_across_layers)):
             kwargs = dict(cond=cond) if (has_cond and exists(cond)) else dict()
+            if streaming:
+                kwargs['streaming'] = True
             x = self._apply_layer(layer, x, **kwargs)
         return x
 
-    def decode_pixels(self, x, video_contains_first_frame: bool = True):
+    def decode_pixels(self, x, video_contains_first_frame: bool = True,
+                      streaming: bool = False):
         """Pre-conv_out features -> pixel video (reference decode tail,
-        magvit2_pytorch.py:1631-1649)."""
+        magvit2_pytorch.py:1631-1649). In streaming mode the caller slices the
+        first-chunk time padding."""
         cfg = self.config
         tp = self.time_padding
         decode_first_frame_separately = (
-            cfg.separate_first_frame_encoding and video_contains_first_frame)
+            cfg.separate_first_frame_encoding and video_contains_first_frame
+            and not streaming)
 
         if decode_first_frame_separately:
             xff = x[:, tp]
@@ -396,16 +416,18 @@ class TokenizerModule(nn.Module):
             outff = self.conv_out_first_frame(xff)
             video = jnp.concatenate([outff[:, None], out], axis=1)
         else:
-            video = self.conv_out(x)
-            if video_contains_first_frame:
+            video = self.conv_out(x, streaming=streaming)
+            if video_contains_first_frame and not streaming:
                 video = video[:, tp:]
 
         return video
 
-    def decode(self, quantized, cond=None, video_contains_first_frame: bool = True):
-        x = self.decode_features(quantized, cond=cond)
+    def decode(self, quantized, cond=None, video_contains_first_frame: bool = True,
+               streaming: bool = False):
+        x = self.decode_features(quantized, cond=cond, streaming=streaming)
         return self.decode_pixels(
-            x, video_contains_first_frame=video_contains_first_frame)
+            x, video_contains_first_frame=video_contains_first_frame,
+            streaming=streaming)
 
     def __call__(self, video, cond=None, video_contains_first_frame: bool = True,
                  train: bool = False):

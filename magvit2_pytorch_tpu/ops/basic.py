@@ -86,9 +86,20 @@ class TokenShift(nn.Module):
     fn: nn.Module
 
     @nn.compact
-    def __call__(self, x, **kwargs):
+    def __call__(self, x, streaming: bool = False, **kwargs):
         x_main, x_shift = jnp.split(x, 2, axis=-1)
-        x_shift = jnp.pad(x_shift, [(0, 0), (1, 0)] + [(0, 0)] * (x.ndim - 2))[:, :-1]
+        if streaming:
+            cache = self.variable(
+                'cache', 'shift_state',
+                lambda: jnp.zeros((x.shape[0], 1, *x.shape[2:-1],
+                                   x_shift.shape[-1]), x.dtype))
+            shifted = jnp.concatenate(
+                [cache.value.astype(x.dtype), x_shift], axis=1)
+            cache.value = x_shift[:, -1:]
+            x_shift = shifted[:, :-1]
+        else:
+            x_shift = jnp.pad(
+                x_shift, [(0, 0), (1, 0)] + [(0, 0)] * (x.ndim - 2))[:, :-1]
         x = jnp.concatenate((x_main, x_shift), axis=-1)
         if kwargs and not _accepts_kwargs(self.fn, kwargs):
             kwargs = {}

@@ -76,7 +76,11 @@ class CausalConv3d(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, streaming: bool = False):
+        """``streaming=True`` carries the causal time history in a flax
+        'cache' variable (apply with ``mutable=['cache']``): chunked calls
+        produce bit-identical outputs to one whole-clip call — the carried
+        conv state of SURVEY.md §5.7's long-video streaming design."""
         kt, kh, kw = cast_tuple(self.kernel_size, 3)
         assert is_odd(kh) and is_odd(kw)
 
@@ -94,15 +98,27 @@ class CausalConv3d(nn.Module):
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
 
-        # reference falls back to zero padding when the clip is shorter than
-        # the causal pad (magvit2_pytorch.py:925)
-        pad_mode = self.pad_mode if time_pad < x.shape[1] else 'constant'
-
-        if pad_mode in ('constant', 'zeros'):
-            padding = [(time_pad, 0), (hp, hp), (wp, wp)]
+        if streaming and time_pad > 0:
+            assert self.pad_mode in ('constant', 'zeros'), (
+                'streaming requires zero pad_mode (the zero-initialized cache '
+                'IS the causal pad)')
+            b, _, h, w, _ = x.shape
+            cache = self.variable(
+                'cache', 'time_state',
+                lambda: jnp.zeros((b, time_pad, h, w, c_in), dtype))
+            x = jnp.concatenate([cache.value.astype(dtype), x], axis=1)
+            cache.value = x[:, -time_pad:]
+            padding = [(0, 0), (hp, hp), (wp, wp)]
         else:
-            x = _maybe_explicit_pad(x, [(time_pad, 0), (hp, hp), (wp, wp)], pad_mode)
-            padding = [(0, 0)] * 3
+            # reference falls back to zero padding when the clip is shorter
+            # than the causal pad (magvit2_pytorch.py:925)
+            pad_mode = self.pad_mode if time_pad < x.shape[1] else 'constant'
+            if pad_mode in ('constant', 'zeros'):
+                padding = [(time_pad, 0), (hp, hp), (wp, wp)]
+            else:
+                x = _maybe_explicit_pad(
+                    x, [(time_pad, 0), (hp, hp), (wp, wp)], pad_mode)
+                padding = [(0, 0)] * 3
 
         out = jax.lax.conv_general_dilated(
             x, kernel,

@@ -76,20 +76,34 @@ class TimeDownsample2x(nn.Module):
     antialias: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, streaming: bool = False):
         dim_out = default(self.dim_out, self.dim)
         k = self.kernel_size
         if self.antialias:
+            assert not streaming, (
+                'time-blur peeks one frame ahead (replicate pad both sides) — '
+                'not streamable')
             x = blur(x, time_only=True)
 
         c_in = x.shape[-1]
         kernel = self.param('kernel', torch_kernel_init, (k, 1, 1, c_in, dim_out))
         bias = self.param('bias', torch_bias_init(k * c_in), (dim_out,))
 
+        if streaming:
+            b, _, h, w, _ = x.shape
+            cache = self.variable(
+                'cache', 'time_state',
+                lambda: jnp.zeros((b, k - 1, h, w, c_in), x.dtype))
+            x = jnp.concatenate([cache.value.astype(x.dtype), x], axis=1)
+            cache.value = x[:, -(k - 1):]
+            padding = [(0, 0), (0, 0), (0, 0)]
+        else:
+            padding = [(k - 1, 0), (0, 0), (0, 0)]
+
         out = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype),
             window_strides=(2, 1, 1),
-            padding=[(k - 1, 0), (0, 0), (0, 0)],
+            padding=padding,
             dimension_numbers=DN_3D,
         )
         return out + bias.astype(x.dtype)
@@ -169,9 +183,9 @@ class _ResidualUnitInner(nn.Module):
     pad_mode: str = 'constant'
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, streaming: bool = False):
         x = CausalConv3d(self.dim, self.kernel_size, pad_mode=self.pad_mode,
-                         name='conv')(x)
+                         name='conv')(x, streaming=streaming)
         x = jax.nn.elu(x)
         x = Conv3d1x1(self.dim, name='conv_pointwise')(x)
         x = jax.nn.elu(x)

@@ -1,0 +1,8 @@
+from magvit2_pytorch_tpu.parallel.mesh import (
+    data_sharding,
+    is_main_process,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)

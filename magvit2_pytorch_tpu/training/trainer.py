@@ -1,0 +1,557 @@
+"""VideoTokenizerTrainer: the full GAN training loop, TPU-native.
+
+Rebuild of reference trainer.py:59-538. The reference's per-step host loop
+(zero_grad / micro-batch backward / no_sync / clip / step / EMA-on-rank-0) is
+collapsed into TWO jitted SPMD step functions closed over a device mesh:
+
+- generator step: grad-accum via ``lax.scan`` over micro-batches, optax
+  update (clip folded into the chain), EMA lerp — one XLA program; the DDP
+  allreduce becomes an XLA ``psum`` over the mesh's ICI 'data' axis.
+- discriminator step: same shape, including R1 gradient penalty every
+  ``apply_gradient_penalty_every`` steps (two compiled variants — the
+  penalty flag is static, mirroring trainer.py:406).
+
+Reference semantics preserved: delayed GAN via ``discr_start_after_step``
+(trainer.py:203-205,339-342), linear warmup (:159-162), 95/5 random split
+seeded 42 (:119-141), validation recon + EMA recon with side-by-side GIF grids
+(:452-510), checkpoint/resume of every piece of state (:291-330, via Orbax).
+
+Fixed reference quirks: #3 (EMA device move crash on non-main ranks — EMA is
+just a replicated pytree here) and #4 (discr warmup stepping the optimizer
+twice — there is no second step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from contextlib import contextmanager
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from magvit2_pytorch_tpu.data.datasets import (
+    DataLoader,
+    ImageDataset,
+    VideoDataset,
+    cycle,
+    random_split,
+)
+from magvit2_pytorch_tpu.data.video_io import video_array_to_gif
+from magvit2_pytorch_tpu.models.tokenizer import VideoTokenizer
+from magvit2_pytorch_tpu.parallel.mesh import (
+    data_sharding,
+    is_main_process,
+    make_mesh,
+    replicate,
+)
+from magvit2_pytorch_tpu.training.ema import EMAConfig, ema_update
+from magvit2_pytorch_tpu.training.losses import (
+    discriminator_loss,
+    tokenizer_loss,
+)
+from magvit2_pytorch_tpu.training.optimizer import get_optimizer
+from magvit2_pytorch_tpu.utils.helpers import default, exists
+from magvit2_pytorch_tpu.utils.precision import Policy, default_policy
+
+
+class VideoTokenizerTrainer:
+
+    def __init__(
+        self,
+        model: VideoTokenizer,
+        *,
+        batch_size: int,
+        num_train_steps: int,
+        learning_rate: float = 1e-5,
+        grad_accum_every: int = 1,
+        apply_gradient_penalty_every: int = 4,
+        max_grad_norm: Optional[float] = None,
+        dataset=None,
+        valid_dataset=None,
+        dataset_folder: Optional[str] = None,
+        dataset_type: str = 'videos',
+        checkpoints_folder: str = './checkpoints',
+        results_folder: str = './results',
+        random_split_seed: int = 42,
+        valid_frac: float = 0.05,
+        validate_every_step: int = 100,
+        checkpoint_every_step: int = 100,
+        num_frames: int = 17,
+        use_wandb_tracking: bool = False,
+        discr_start_after_step: int = 0,
+        warmup_steps: int = 1000,
+        scheduler=None,           # optional optax schedule fn(step) -> lr
+        optimizer_kwargs: Optional[dict] = None,
+        ema_kwargs: Optional[dict] = None,
+        dataset_kwargs: Optional[dict] = None,
+        mesh=None,
+        policy: Optional[Policy] = None,
+        seed: int = 0,
+        profile_dir: Optional[str] = None,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.num_train_steps = num_train_steps
+        self.grad_accum_every = grad_accum_every
+        self.apply_gradient_penalty_every = apply_gradient_penalty_every
+        self.discr_start_after_step = discr_start_after_step
+        self.validate_every_step = validate_every_step
+        self.checkpoint_every_step = checkpoint_every_step
+        self.use_wandb_tracking = use_wandb_tracking
+        self.policy = default(policy, default_policy())
+        self.profile_dir = profile_dir
+
+        self.mesh = default(mesh, make_mesh())
+        n_data = self.mesh.shape['data']
+        assert batch_size % n_data == 0, (
+            f'batch_size {batch_size} must divide the data-parallel axis '
+            f'{n_data}')
+
+        # datasets (reference trainer.py:115-149)
+        dataset_kwargs = dict(default(dataset_kwargs, {}))
+        dataset_kwargs['channels'] = model.channels
+        if not exists(dataset):
+            if dataset_type == 'videos':
+                dataset_klass = VideoDataset
+                dataset_kwargs = {**dataset_kwargs, 'num_frames': num_frames}
+            else:
+                dataset_klass = ImageDataset
+            assert exists(dataset_folder)
+            dataset = dataset_klass(
+                dataset_folder, image_size=model.image_size, **dataset_kwargs)
+
+        assert 0 <= valid_frac < 1
+        if not exists(valid_dataset):
+            if valid_frac > 0:
+                train_size = int((1 - valid_frac) * len(dataset))
+                valid_size = len(dataset) - train_size
+                dataset, valid_dataset = random_split(
+                    dataset, [train_size, valid_size], seed=random_split_seed)
+                self.print(
+                    f'training with dataset of {len(dataset)} samples and '
+                    f'validating with randomly splitted {len(valid_dataset)} '
+                    f'samples')
+            else:
+                valid_dataset = dataset
+                self.print(
+                    f'training with shared training and valid dataset of '
+                    f'{len(dataset)} samples')
+
+        self.dataset = dataset
+        self.valid_dataset = valid_dataset
+        self.dataloader = DataLoader(
+            dataset, batch_size=batch_size, shuffle=True, drop_last=True)
+        # validation runs un-sharded on the host path; tolerate small splits
+        self.valid_dataloader = DataLoader(
+            valid_dataset, batch_size=min(batch_size, len(valid_dataset)),
+            shuffle=True, drop_last=True)
+
+        # optimizers (reference trainer.py:154-171; warmup folded into the
+        # optax schedule, clip folded into the chain)
+        optimizer_kwargs = default(optimizer_kwargs, {})
+        self.optimizer = get_optimizer(
+            lr=learning_rate, warmup_steps=warmup_steps,
+            max_grad_norm=max_grad_norm, scheduler=scheduler,
+            **optimizer_kwargs)
+        self.opt_state = self.optimizer.init(model.params)
+
+        self.has_gan = model.use_gan and exists(model.discr)
+        self.discr_optimizer = None
+        self.discr_opt_state = None
+        if self.has_gan:
+            self.discr_optimizer = get_optimizer(
+                lr=learning_rate, warmup_steps=warmup_steps,
+                max_grad_norm=max_grad_norm, scheduler=scheduler,
+                **optimizer_kwargs)
+            self.discr_opt_state = self.discr_optimizer.init(
+                self._discr_tree())
+
+        # EMA (reference trainer.py:108-113; replicated pytree, not rank-0)
+        ema_kwargs = default(ema_kwargs, {})
+        self.ema_config = EMAConfig(**ema_kwargs)
+        self.ema_params = jax.tree.map(jnp.copy, model.params)
+
+        # replicate state over the mesh
+        self.model.params = replicate(self.model.params, self.mesh)
+        self.ema_params = replicate(self.ema_params, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
+        if self.has_gan:
+            self.model.discr_params = replicate(
+                self.model.discr_params, self.mesh)
+            self.model.multiscale_params = [
+                replicate(p, self.mesh) for p in self.model.multiscale_params]
+            self.discr_opt_state = replicate(self.discr_opt_state, self.mesh)
+        if exists(self.model.vgg_params):
+            self.model.vgg_params = replicate(self.model.vgg_params, self.mesh)
+
+        self.checkpoints_folder = Path(checkpoints_folder)
+        self.results_folder = Path(results_folder)
+        self.checkpoints_folder.mkdir(parents=True, exist_ok=True)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+
+        self.step = 0
+        self._rng = jax.random.PRNGKey(seed)
+        self._jit_cache = {}
+        self._wandb_run = None
+
+    # -- plumbing ------------------------------------------------------------
+
+    @property
+    def is_main(self) -> bool:
+        return is_main_process()
+
+    def print(self, msg):
+        if self.is_main:
+            print(msg)
+
+    def log(self, **data):
+        if exists(self._wandb_run):
+            self._wandb_run.log(data, step=self.step)
+
+    @contextmanager
+    def trackers(self, project_name: str, run_name: Optional[str] = None,
+                 hps: Optional[dict] = None):
+        """wandb tracking context (reference trainer.py:241-257)."""
+        assert self.use_wandb_tracking
+        import wandb
+        self._wandb_run = wandb.init(project=project_name, name=run_name,
+                                     config=hps)
+        try:
+            yield
+        finally:
+            self._wandb_run.finish()
+            self._wandb_run = None
+
+    def _discr_tree(self):
+        return {
+            'discr': self.model.discr_params,
+            'multiscale': tuple(self.model.multiscale_params),
+        }
+
+    def _set_discr_tree(self, tree):
+        self.model.discr_params = tree['discr']
+        self.model.multiscale_params = list(tree['multiscale'])
+
+    @property
+    def ema_tokenizer(self):
+        """Eval copy of the tokenizer carrying the EMA params
+        (reference trainer.py:284-286)."""
+        ema_model = self.model.copy_for_eval()
+        ema_model.params = self.ema_params
+        return ema_model
+
+    def tokenize(self, *args, **kwargs):
+        return self.ema_tokenizer.tokenize(*args, **kwargs)
+
+    def _next_batches(self, dl_iter):
+        """Pull grad_accum_every batches, stack to (A, B, ...), shard batch
+        axis over the mesh."""
+        batches = []
+        for _ in range(self.grad_accum_every):
+            data, *_ = next(dl_iter)
+            arr = np.asarray(data, dtype=np.float32)
+            batches.append(arr)
+        stacked = np.stack(batches)
+        return jax.device_put(
+            stacked, data_sharding(self.mesh, leading_none=1))
+
+    # -- jitted steps --------------------------------------------------------
+
+    def _gen_step_fn(self, train_adversarially: bool):
+        key = ('gen', train_adversarially)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        model = self.model
+        cfg = model.config
+        policy = self.policy
+        optimizer = self.optimizer
+        ema_config = self.ema_config
+
+        adv_w = cfg.adversarial_loss_weight if train_adversarially else 0.0
+        ms_adv_w = (cfg.multiscale_adversarial_loss_weight
+                    if train_adversarially else 0.0)
+        has_gan = self.has_gan and train_adversarially and adv_w > 0
+        has_ms = (model.has_multiscale_discrs and train_adversarially
+                  and ms_adv_w > 0)
+
+        def micro_loss(params, discr_params, ms_params, vgg_params, batch, key):
+            total, breakdown, _ = tokenizer_loss(
+                model.module, params,
+                policy.cast_to_compute(batch), key,
+                discr_module=model.discr, discr_params=discr_params,
+                multiscale_modules=tuple(model.multiscale_discrs),
+                multiscale_params=ms_params,
+                vgg_module=model.vgg, vgg_params=vgg_params,
+                train=True,
+                use_vgg=model.use_vgg,
+                has_gan=has_gan,
+                has_multiscale_gan=has_ms,
+                perceptual_loss_weight=cfg.perceptual_loss_weight,
+                quantizer_aux_loss_weight=cfg.quantizer_aux_loss_weight,
+                adversarial_loss_weight=adv_w,
+                multiscale_adversarial_loss_weight=ms_adv_w,
+            )
+            return total, breakdown
+
+        def step_fn(params, opt_state, ema_params, discr_params, ms_params,
+                    vgg_params, batches, rng, step):
+            # grad accumulation: unrolled python loop (accum is small and
+            # static; an XLA while-loop over the full grads pytree compiles
+            # pathologically slowly on some backends)
+            accum = batches.shape[0]
+            keys = jax.random.split(rng, accum)
+            grads = jax.tree.map(jnp.zeros_like, params)
+            loss_sum = 0.0
+            breakdown = None
+            for i in range(accum):
+                (loss, breakdown), g = jax.value_and_grad(
+                    micro_loss, has_aux=True)(
+                        params, discr_params, ms_params, vgg_params,
+                        batches[i], keys[i])
+                grads = jax.tree.map(jnp.add, grads, g)
+                loss_sum = loss_sum + loss
+            grads = jax.tree.map(lambda g: g / accum, grads)
+
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_ema = ema_update(ema_params, new_params, step, ema_config)
+
+            last_breakdown = breakdown
+            metrics = {
+                'total_loss': loss_sum / accum,
+                'recon_loss': last_breakdown.recon_loss,
+                'perceptual_loss': last_breakdown.perceptual_loss,
+                'adversarial_gen_loss': last_breakdown.adversarial_gen_loss,
+                'adaptive_adversarial_weight':
+                    last_breakdown.adaptive_adversarial_weight,
+                'lfq_aux_loss': last_breakdown.lfq_aux_loss,
+            }
+            return new_params, new_opt_state, new_ema, metrics
+
+        fn = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _discr_step_fn(self, apply_gradient_penalty: bool):
+        key = ('discr', apply_gradient_penalty)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        model = self.model
+        cfg = model.config
+        policy = self.policy
+        optimizer = self.discr_optimizer
+
+        def micro_loss(discr_tree, params, batch, key):
+            total, breakdown = discriminator_loss(
+                model.module, params, model.discr, discr_tree['discr'],
+                policy.cast_to_compute(batch), key,
+                multiscale_modules=tuple(model.multiscale_discrs),
+                multiscale_params=discr_tree['multiscale'],
+                apply_gradient_penalty=apply_gradient_penalty,
+                grad_penalty_loss_weight=cfg.grad_penalty_loss_weight,
+                multiscale_adversarial_loss_weight=cfg.multiscale_adversarial_loss_weight,
+            )
+            return total, breakdown
+
+        def step_fn(discr_tree, discr_opt_state, params, batches, rng):
+            accum = batches.shape[0]
+            keys = jax.random.split(rng, accum)
+            grads = jax.tree.map(jnp.zeros_like, discr_tree)
+            loss_sum = 0.0
+            last = None
+            for i in range(accum):
+                (loss, last), g = jax.value_and_grad(
+                    micro_loss, has_aux=True)(discr_tree, params, batches[i],
+                                              keys[i])
+                grads = jax.tree.map(jnp.add, grads, g)
+                loss_sum = loss_sum + loss
+            grads = jax.tree.map(lambda g: g / accum, grads)
+
+            updates, new_opt_state = optimizer.update(
+                grads, discr_opt_state, discr_tree)
+            new_tree = optax.apply_updates(discr_tree, updates)
+
+            metrics = {
+                'discr_loss': last.discr_loss,
+                'gradient_penalty': last.gradient_penalty,
+                'total_discr_loss': loss_sum / accum,
+            }
+            return new_tree, new_opt_state, metrics
+
+        fn = jax.jit(step_fn, donate_argnums=(0, 1))
+        self._jit_cache[key] = fn
+        return fn
+
+    # -- train loop ----------------------------------------------------------
+
+    def train_step(self, dl_iter):
+        step = self.step
+        model = self.model
+
+        train_adversarially = (
+            self.has_gan and (step + 1) > self.discr_start_after_step)
+
+        rng = jax.random.fold_in(self._rng, step)
+        rng_gen, rng_discr = jax.random.split(rng)
+
+        # generator
+        batches = self._next_batches(dl_iter)
+        gen_fn = self._gen_step_fn(train_adversarially)
+        (model.params, self.opt_state, self.ema_params, metrics) = gen_fn(
+            model.params, self.opt_state, self.ema_params,
+            model.discr_params, tuple(model.multiscale_params),
+            model.vgg_params, batches, rng_gen, jnp.asarray(step))
+
+        metrics = {k: float(v) for k, v in metrics.items()}
+        self.log(**metrics)
+        self.print(f"recon loss: {metrics['recon_loss']:.3f}")
+
+        if not train_adversarially:
+            self.step += 1
+            return metrics
+
+        # discriminator (reference trainer.py:400-446)
+        apply_gp = not (step % self.apply_gradient_penalty_every)
+        batches = self._next_batches(dl_iter)
+        discr_fn = self._discr_step_fn(apply_gp)
+        discr_tree = self._discr_tree()
+        discr_tree, self.discr_opt_state, discr_metrics = discr_fn(
+            discr_tree, self.discr_opt_state, model.params, batches, rng_discr)
+        self._set_discr_tree(discr_tree)
+
+        discr_metrics = {k: float(v) for k, v in discr_metrics.items()}
+        self.log(discr_loss=discr_metrics['discr_loss'])
+        if apply_gp:
+            self.log(gradient_penalty=discr_metrics['gradient_penalty'])
+        self.print(f"discr loss: {discr_metrics['discr_loss']:.3f}")
+
+        self.step += 1
+        return {**metrics, **discr_metrics}
+
+    def valid_step(self, dl_iter, save_recons: bool = True,
+                   num_save_recons: int = 1):
+        """Validation recon loss for online + EMA model, side-by-side GIF grid
+        (reference trainer.py:452-510)."""
+        model = self.model
+        ema_model = self.ema_tokenizer
+
+        recon_loss = 0.0
+        ema_recon_loss = 0.0
+        valid_videos = []
+        recon_videos = []
+
+        for _ in range(self.grad_accum_every):
+            valid_video, *_ = next(dl_iter)
+            valid_video = jnp.asarray(valid_video, jnp.float32)
+
+            loss, _ = model.forward(valid_video, return_recon_loss_only=True)
+            ema_loss, ema_recon = ema_model.forward(
+                valid_video, return_recon_loss_only=True)
+
+            recon_loss += float(loss) / self.grad_accum_every
+            ema_recon_loss += float(ema_loss) / self.grad_accum_every
+
+            if valid_video.ndim == 4:
+                valid_video = valid_video[:, None]
+                ema_recon = ema_recon[:, None] if ema_recon.ndim == 4 else ema_recon
+
+            valid_videos.append(np.asarray(valid_video))
+            recon_videos.append(np.asarray(ema_recon))
+
+        self.log(valid_recon_loss=recon_loss,
+                 valid_ema_recon_loss=ema_recon_loss)
+        self.print(f'validation recon loss {recon_loss:.3f}')
+        self.print(f'validation EMA recon loss {ema_recon_loss:.3f}')
+
+        if not save_recons:
+            return recon_loss, ema_recon_loss
+
+        valid_videos = np.concatenate(valid_videos)[:num_save_recons]
+        recon_videos = np.clip(
+            np.concatenate(recon_videos)[:num_save_recons], 0, 1)
+
+        # (2, b, t, h, w, c) -> (t, b*h, 2*w, c): real|recon side by side
+        pair = np.stack([valid_videos, recon_videos])
+        n, b, t, h, w, c = pair.shape
+        grid = pair.transpose(2, 1, 3, 0, 4, 5).reshape(t, b * h, n * w, c)
+
+        validate_step = self.step // self.validate_every_step
+        sample_path = self.results_folder / f'sampled.{validate_step}.gif'
+        video_array_to_gif(grid, str(sample_path))
+        self.print(f'sample saved to {sample_path}')
+        return recon_loss, ema_recon_loss
+
+    def train(self):
+        """Outer loop (reference trainer.py:512-538)."""
+        dl_iter = cycle(self.dataloader)
+        valid_dl_iter = cycle(self.valid_dataloader)
+
+        while self.step < self.num_train_steps:
+            step = self.step
+            self.print(f'step {step}')
+
+            if exists(self.profile_dir) and step == 2:
+                jax.profiler.start_trace(self.profile_dir)
+
+            t0 = time.perf_counter()
+            self.train_step(dl_iter)
+            step_time = time.perf_counter() - t0
+            self.log(step_time=step_time)
+
+            if exists(self.profile_dir) and step == 4:
+                jax.profiler.stop_trace()
+
+            if self.is_main and not (step % self.validate_every_step):
+                self.valid_step(valid_dl_iter)
+
+            if self.is_main and not (step % self.checkpoint_every_step):
+                checkpoint_num = step // self.checkpoint_every_step
+                self.save(
+                    self.checkpoints_folder / f'checkpoint.{checkpoint_num}')
+
+    # -- checkpoint / resume (reference trainer.py:291-330) ------------------
+
+    def _state(self):
+        state = {
+            'params': self.model.params,
+            'ema_params': self.ema_params,
+            'opt_state': self.opt_state,
+            'step': self.step,
+        }
+        if self.has_gan:
+            state['discr_tree'] = self._discr_tree()
+            state['discr_opt_state'] = self.discr_opt_state
+        return state
+
+    def save(self, path):
+        import orbax.checkpoint as ocp
+
+        path = Path(path).resolve()
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, self._state(), force=True)
+
+    def load(self, path):
+        import orbax.checkpoint as ocp
+
+        path = Path(path).resolve()
+        assert path.exists()
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path, self._state())
+
+        self.model.params = replicate(restored['params'], self.mesh)
+        self.ema_params = replicate(restored['ema_params'], self.mesh)
+        self.opt_state = replicate(restored['opt_state'], self.mesh)
+        self.step = int(restored['step'])
+        if self.has_gan and 'discr_tree' in restored:
+            self._set_discr_tree(
+                replicate(restored['discr_tree'], self.mesh))
+            self.discr_opt_state = replicate(
+                restored['discr_opt_state'], self.mesh)

@@ -20,4 +20,10 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
 jax.config.update('jax_enable_x64', False)
 
+# persistent compile cache — the test box has few cores, XLA compiles dominate
+_cache_dir = os.path.join(os.path.dirname(__file__), '..', '.jax_cache')
+jax.config.update('jax_compilation_cache_dir', os.path.abspath(_cache_dir))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
 assert jax.default_backend() == 'cpu'

@@ -1,0 +1,109 @@
+"""Streaming (chunked causal) tokenize/decode must be bit-identical to the
+whole-clip pass — the SURVEY.md §5.7 carried-conv-state contract."""
+
+import numpy as np
+import pytest
+
+from magvit2_pytorch_tpu.models import VideoTokenizer
+from magvit2_pytorch_tpu.models.streaming import (
+    StreamingSession,
+    decode_streaming,
+    tokenize_streaming,
+)
+
+
+@pytest.fixture(scope='module')
+def tok():
+    return VideoTokenizer(
+        image_size=16,
+        init_dim=8,
+        codebook_size=64,
+        layers=(
+            'residual',
+            ('compress_space', 12),
+            ('compress_time', 12),
+            ('compress_time', 16),
+        ),
+        use_gan=False,
+        perceptual_loss_weight=0.0,
+        seed=0,
+    )
+
+
+def test_streaming_encode_matches_full(tok):
+    assert tok.time_downsample_factor == 4
+    rng = np.random.default_rng(0)
+    video = rng.uniform(size=(1, 17, 16, 16, 3)).astype(np.float32)
+
+    codes_full = np.asarray(tok.tokenize(video))
+    codes_stream = np.asarray(tokenize_streaming(tok, video, chunk_frames=8))
+
+    assert codes_stream.shape == codes_full.shape
+    np.testing.assert_array_equal(codes_stream, codes_full)
+
+
+def test_streaming_decode_matches_full(tok):
+    rng = np.random.default_rng(1)
+    video = rng.uniform(size=(1, 17, 16, 16, 3)).astype(np.float32)
+    codes = tok.tokenize(video)
+
+    recon_full = np.asarray(tok.decode_from_code_indices(codes))
+    recon_stream = np.asarray(decode_streaming(tok, codes, chunk_latents=2))
+
+    assert recon_stream.shape == recon_full.shape
+    np.testing.assert_allclose(recon_stream, recon_full, atol=1e-5)
+
+
+def test_streaming_session_incremental(tok):
+    """Feed uneven chunk sizes; outputs must still agree with full pass."""
+    rng = np.random.default_rng(2)
+    video = rng.uniform(size=(2, 13, 16, 16, 3)).astype(np.float32)
+    codes_full = np.asarray(tok.tokenize(video))
+
+    sess = StreamingSession(tok)
+    parts = [
+        sess.encode_chunk(video[:, :5]),    # 1 + 4 frames
+        sess.encode_chunk(video[:, 5:9]),   # 4
+        sess.encode_chunk(video[:, 9:13]),  # 4
+    ]
+    codes_stream = np.concatenate([np.asarray(p) for p in parts], axis=1)
+    np.testing.assert_array_equal(codes_stream, codes_full)
+
+
+def test_streaming_with_spatial_attention():
+    """attend_space / linear_attend_space are per-frame -> streamable."""
+    tok = VideoTokenizer(
+        image_size=16,
+        init_dim=8,
+        codebook_size=64,
+        layers=(
+            'residual',
+            ('compress_space', 12),
+            'linear_attend_space',
+            ('compress_time', 12),
+        ),
+        use_gan=False,
+        perceptual_loss_weight=0.0,
+        seed=0,
+    )
+    rng = np.random.default_rng(3)
+    video = rng.uniform(size=(1, 5, 16, 16, 3)).astype(np.float32)
+    codes_full = np.asarray(tok.tokenize(video))
+    codes_stream = np.asarray(tokenize_streaming(tok, video, chunk_frames=2))
+    np.testing.assert_array_equal(codes_stream, codes_full)
+
+
+def test_streaming_rejects_time_attention():
+    tok = VideoTokenizer(
+        image_size=16,
+        init_dim=8,
+        codebook_size=64,
+        layers=('residual', 'attend_time'),
+        use_gan=False,
+        perceptual_loss_weight=0.0,
+        seed=0,
+    )
+    video = np.zeros((1, 3, 16, 16, 3), np.float32)
+    sess = StreamingSession(tok)
+    with pytest.raises(AssertionError):
+        sess.encode_chunk(video)

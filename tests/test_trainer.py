@@ -1,0 +1,160 @@
+"""Trainer integration: GAN loop over the 8-device virtual CPU mesh (the
+multi-chip-without-a-cluster strategy from SURVEY.md §4), delayed adversarial
+start, EMA tracking, checkpoint/resume, validation GIF dump.
+
+Configs are deliberately tiny (16px, dim 8) — the test box is single-core and
+XLA compile time dominates; tests share trainers to reuse jitted steps.
+"""
+
+import numpy as np
+import pytest
+
+from magvit2_pytorch_tpu.data import cycle, video_array_to_gif
+from magvit2_pytorch_tpu.models import VideoTokenizer
+from magvit2_pytorch_tpu.training.trainer import VideoTokenizerTrainer
+
+SIZE = 16
+FRAMES = 3
+
+
+class SyntheticVideos:
+    def __init__(self, n=24, t=FRAMES, size=SIZE, c=3, seed=0):
+        rng = np.random.default_rng(seed)
+        self.items = rng.uniform(size=(n, t, size, size, c)).astype(np.float32)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def _model(use_gan=False, **kwargs):
+    return VideoTokenizer(
+        image_size=SIZE,
+        init_dim=8,
+        codebook_size=64,
+        layers=('residual', ('compress_space', 12), ('compress_time', 12)),
+        use_gan=use_gan,
+        discr_kwargs=dict(dim=4, image_size=SIZE, channels=3, max_dim=16),
+        perceptual_loss_weight=0.0,  # VGG is too heavy for the 1-core CI box
+        seed=0,
+        **kwargs,
+    )
+
+
+def _trainer(model, tmp_path, **kwargs):
+    defaults = dict(
+        batch_size=8,            # shards over the 8 virtual devices
+        num_train_steps=4,
+        learning_rate=1e-4,
+        warmup_steps=2,
+        dataset=SyntheticVideos(),
+        valid_frac=0.25,
+        checkpoints_folder=str(tmp_path / 'ckpts'),
+        results_folder=str(tmp_path / 'results'),
+        validate_every_step=1000,
+        checkpoint_every_step=1000,
+    )
+    defaults.update(kwargs)
+    return VideoTokenizerTrainer(model, **defaults)
+
+
+def test_train_no_gan_full_cycle(tmp_path):
+    """Covers: param updates, grad accum, EMA, validation GIF, resume."""
+    import jax
+    assert len(jax.devices()) == 8
+
+    model = _model(use_gan=False)
+    trainer = _trainer(model, tmp_path, grad_accum_every=2,
+                       ema_kwargs=dict(update_after_step=0, update_every=1,
+                                       beta=0.5))
+    dl_iter = cycle(trainer.dataloader)
+
+    params_before = np.asarray(jax.tree.leaves(model.params)[0]).copy()
+    m1 = trainer.train_step(dl_iter)
+    m2 = trainer.train_step(dl_iter)
+    assert trainer.step == 2
+    assert np.isfinite(m1['total_loss']) and np.isfinite(m2['total_loss'])
+
+    params_after = np.asarray(jax.tree.leaves(model.params)[0])
+    assert np.abs(params_after - params_before).max() > 0
+
+    # EMA is finite and tokenize-through-EMA works
+    ema_leaf = np.asarray(jax.tree.leaves(trainer.ema_params)[0])
+    assert np.isfinite(ema_leaf).all()
+    video = np.random.default_rng(0).uniform(
+        size=(1, FRAMES, SIZE, SIZE, 3)).astype(np.float32)
+    codes = trainer.tokenize(video)
+    assert codes.shape[0] == 1
+
+    # validation + GIF dump (reference trainer.py:452-510)
+    valid_iter = cycle(trainer.valid_dataloader)
+    recon_loss, ema_loss = trainer.valid_step(valid_iter)
+    assert np.isfinite(recon_loss) and np.isfinite(ema_loss)
+    assert len(list((tmp_path / 'results').glob('*.gif'))) == 1
+
+    # checkpoint -> fresh trainer -> resume (reference trainer.py:291-330)
+    ckpt = tmp_path / 'ckpts' / 'manual'
+    trainer.save(ckpt)
+
+    model2 = _model(use_gan=False)
+    trainer2 = _trainer(model2, tmp_path, grad_accum_every=2)
+    trainer2.load(ckpt)
+    assert trainer2.step == 2
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(model.params)[0]),
+        np.asarray(jax.tree.leaves(model2.params)[0]))
+    m = trainer2.train_step(dl_iter)
+    assert np.isfinite(m['total_loss'])
+
+
+def test_train_with_gan_delayed_start_and_gp(tmp_path):
+    """Covers: discr_start_after_step gating, discriminator step, gradient
+    penalty cadence, GAN checkpoint round-trip."""
+    model = _model(use_gan=True)
+    trainer = _trainer(model, tmp_path, discr_start_after_step=1,
+                       apply_gradient_penalty_every=2)
+    dl_iter = cycle(trainer.dataloader)
+
+    m1 = trainer.train_step(dl_iter)       # step 0: no adversarial yet
+    assert 'discr_loss' not in m1
+    m2 = trainer.train_step(dl_iter)       # step 1: (1+1) > 1 -> GAN on
+    assert 'discr_loss' in m2
+    assert np.isfinite(m2['discr_loss'])
+    # step 1 % 2 != 0 -> no gradient penalty; step 2 -> penalty on
+    m3 = trainer.train_step(dl_iter)
+    assert np.isfinite(m3['gradient_penalty'])
+
+    ckpt = tmp_path / 'ckpts' / 'gan'
+    trainer.save(ckpt)
+    model2 = _model(use_gan=True)
+    trainer2 = _trainer(model2, tmp_path, discr_start_after_step=1,
+                        apply_gradient_penalty_every=2)
+    trainer2.load(ckpt)
+    assert trainer2.step == 3
+    import jax
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(model.discr_params)[0]),
+        np.asarray(jax.tree.leaves(model2.discr_params)[0]))
+
+
+def test_trainer_with_video_files_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / 'videos'
+    data_dir.mkdir()
+    for i in range(8):
+        vid = rng.uniform(size=(FRAMES, SIZE, SIZE, 3)).astype(np.float32)
+        video_array_to_gif(vid, str(data_dir / f'v{i}.gif'))
+
+    import jax
+
+    from magvit2_pytorch_tpu.parallel import make_mesh
+
+    model = _model(use_gan=False)
+    trainer = _trainer(model, tmp_path, dataset=None,
+                       dataset_folder=str(data_dir), num_frames=FRAMES,
+                       valid_frac=0.25, batch_size=4,
+                       mesh=make_mesh(data=4, devices=jax.devices()[:4]))
+    m = trainer.train_step(cycle(trainer.dataloader))
+    assert np.isfinite(m['total_loss'])
