@@ -490,11 +490,33 @@ class VideoTokenizerTrainer:
         return recon_loss, ema_recon_loss
 
     def train(self):
-        """Outer loop (reference trainer.py:512-538)."""
+        """Outer loop (reference trainer.py:512-538), with preemption-safe
+        checkpointing: SIGTERM/SIGINT triggers one final checkpoint before
+        exit (SURVEY.md §5.3 — the reference has no failure handling beyond
+        periodic checkpoints)."""
+        import signal
+
+        stop_requested = {'flag': False}
+
+        def _on_signal(signum, frame):
+            self.print(f'signal {signum} received — checkpointing and stopping')
+            stop_requested['flag'] = True
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread
+                pass
+
         dl_iter = cycle(self.dataloader)
         valid_dl_iter = cycle(self.valid_dataloader)
 
         while self.step < self.num_train_steps:
+            if stop_requested['flag']:
+                if self.is_main:
+                    self.save(self.checkpoints_folder / 'checkpoint.preempt')
+                break
             step = self.step
             self.print(f'step {step}')
 
@@ -516,6 +538,23 @@ class VideoTokenizerTrainer:
                 checkpoint_num = step // self.checkpoint_every_step
                 self.save(
                     self.checkpoints_folder / f'checkpoint.{checkpoint_num}')
+
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
+
+    def maybe_auto_resume(self) -> bool:
+        """Resume from the newest checkpoint in checkpoints_folder, if any —
+        combined with the signal handler this gives preemption-safe restart
+        semantics. Returns True if a checkpoint was loaded."""
+        candidates = sorted(
+            self.checkpoints_folder.glob('checkpoint.*'),
+            key=lambda p: p.stat().st_mtime)
+        if not candidates:
+            return False
+        latest = candidates[-1]
+        self.print(f'auto-resuming from {latest}')
+        self.load(latest)
+        return True
 
     # -- checkpoint / resume (reference trainer.py:291-330) ------------------
 
