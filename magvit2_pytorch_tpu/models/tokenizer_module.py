@@ -341,10 +341,6 @@ class TokenizerModule(nn.Module):
         if streaming:
             assert not self.parsed_layers.has_cond, 'streaming + cond: TODO'
             assert not cfg.separate_first_frame_encoding
-            for spec in self.parsed_layers.specs:
-                assert spec.layer_type not in ('attend_time', 'gateloop_time'), (
-                    f'{spec.layer_type} is not streamable yet (needs kv/scan '
-                    'state carry)')
 
         encode_first_frame_separately = (
             cfg.separate_first_frame_encoding and video_contains_first_frame)

@@ -36,7 +36,7 @@ class Attention(nn.Module):
     backend: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, mask=None, cond=None):
+    def __call__(self, x, mask=None, cond=None, streaming: bool = False):
         assert self.num_memory_kv > 0
         dim_inner = self.dim_head * self.heads
 
@@ -52,6 +52,19 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q, k, v = jnp.moveaxis(qkv, 2, 0)          # (b, n, h, d) each
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (b, h, n, d)
+
+        if streaming:
+            # causal kv-cache: chunked calls attend over the full past; the
+            # right-aligned mask in attend() (k_len > q_len) gives exactly
+            # whole-sequence causal semantics
+            assert self.causal and not exists(mask)
+            cache = self.variable(
+                'cache', 'kv_state',
+                lambda: jnp.zeros((2, b, self.heads, 0, self.dim_head),
+                                  x.dtype))
+            k = jnp.concatenate([cache.value[0].astype(x.dtype), k], axis=-2)
+            v = jnp.concatenate([cache.value[1].astype(x.dtype), v], axis=-2)
+            cache.value = jnp.stack([k, v])
 
         mem_kv = self.param(
             'mem_kv', nn.initializers.normal(stddev=1.0),
@@ -182,11 +195,11 @@ class TimeAttention(Attention):
     (reference magvit2_pytorch.py:456-464)."""
 
     @nn.compact
-    def __call__(self, x, mask=None, cond=None):
+    def __call__(self, x, mask=None, cond=None, streaming: bool = False):
         seq, restore = _time_to_seq(x)
         if exists(cond):
             cond = jnp.repeat(cond, seq.shape[0] // cond.shape[0], axis=0)
-        out = super().__call__(seq, mask=mask, cond=cond)
+        out = super().__call__(seq, mask=mask, cond=cond, streaming=streaming)
         return restore(out)
 
 

@@ -101,6 +101,8 @@ class TokenShift(nn.Module):
             x_shift = jnp.pad(
                 x_shift, [(0, 0), (1, 0)] + [(0, 0)] * (x.ndim - 2))[:, :-1]
         x = jnp.concatenate((x_main, x_shift), axis=-1)
+        if streaming and _accepts_kwargs(self.fn, {'streaming': True}):
+            kwargs = {**kwargs, 'streaming': True}
         if kwargs and not _accepts_kwargs(self.fn, kwargs):
             kwargs = {}
         return self.fn(x, **kwargs)

@@ -21,10 +21,11 @@ from flax import linen as nn
 from magvit2_pytorch_tpu.ops.basic import Linear
 
 
-def gated_linear_recurrence(a, x):
+def gated_linear_recurrence(a, x, initial_state=None):
     """Computes s_t = a_t * s_{t-1} + x_t along axis 1 via associative scan.
 
-    a, x: (b, t, d). Returns s: (b, t, d).
+    a, x: (b, t, d). ``initial_state``: optional (b, d) carried state s_0 for
+    chunked streaming. Returns s: (b, t, d).
     """
 
     def combine(carry1, carry2):
@@ -32,7 +33,9 @@ def gated_linear_recurrence(a, x):
         a2, b2 = carry2
         return a1 * a2, a2 * b1 + b2
 
-    _, s = jax.lax.associative_scan(combine, (a, x), axis=1)
+    cum_a, s = jax.lax.associative_scan(combine, (a, x), axis=1)
+    if initial_state is not None:
+        s = s + cum_a * initial_state[:, None, :]
     return s
 
 
@@ -47,14 +50,22 @@ class SimpleGateLoopLayer(nn.Module):
     use_heinsen: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, streaming: bool = False):
         qkva = Linear(self.dim * 4, use_bias=False, name='to_qkva')(x)
         q, k, v, a = jnp.split(qkva, 4, axis=-1)
 
         a = jax.nn.sigmoid(a.astype(jnp.float32))
         kv = (k * v).astype(jnp.float32)
 
-        s = gated_linear_recurrence(a, kv)
+        if streaming:
+            # carried recurrence state: chunked calls == one long scan
+            cache = self.variable(
+                'cache', 'scan_state',
+                lambda: jnp.zeros((x.shape[0], self.dim), jnp.float32))
+            s = gated_linear_recurrence(a, kv, initial_state=cache.value)
+            cache.value = s[:, -1]
+        else:
+            s = gated_linear_recurrence(a, kv)
         out = (q.astype(jnp.float32) * s).astype(x.dtype)
 
         return Linear(self.dim, use_bias=False, name='to_out')(out)

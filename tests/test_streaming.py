@@ -93,17 +93,40 @@ def test_streaming_with_spatial_attention():
     np.testing.assert_array_equal(codes_stream, codes_full)
 
 
-def test_streaming_rejects_time_attention():
+def test_streaming_with_time_attention_kv_cache():
+    """Causal time attention streams via a kv-cache; token-shift carries its
+    frame — chunked output must equal whole-clip output."""
     tok = VideoTokenizer(
-        image_size=16,
+        image_size=8,
         init_dim=8,
         codebook_size=64,
-        layers=('residual', 'attend_time'),
+        layers=('residual', 'attend_time', ('compress_time', 12)),
+        attn_dim_head=8,
+        attn_heads=2,
+        use_gan=False,
+        perceptual_loss_weight=0.0,
+        flash_attn=False,
+        seed=0,
+    )
+    rng = np.random.default_rng(4)
+    video = rng.uniform(size=(1, 5, 8, 8, 3)).astype(np.float32)
+    codes_full = np.asarray(tok.tokenize(video))
+    codes_stream = np.asarray(tokenize_streaming(tok, video, chunk_frames=2))
+    np.testing.assert_array_equal(codes_stream, codes_full)
+
+
+def test_streaming_with_gateloop_state_carry():
+    tok = VideoTokenizer(
+        image_size=8,
+        init_dim=8,
+        codebook_size=64,
+        layers=('residual', 'gateloop_time', ('compress_time', 12)),
         use_gan=False,
         perceptual_loss_weight=0.0,
         seed=0,
     )
-    video = np.zeros((1, 3, 16, 16, 3), np.float32)
-    sess = StreamingSession(tok)
-    with pytest.raises(AssertionError):
-        sess.encode_chunk(video)
+    rng = np.random.default_rng(5)
+    video = rng.uniform(size=(1, 5, 8, 8, 3)).astype(np.float32)
+    codes_full = np.asarray(tok.tokenize(video))
+    codes_stream = np.asarray(tokenize_streaming(tok, video, chunk_frames=2))
+    np.testing.assert_array_equal(codes_stream, codes_full)
