@@ -75,8 +75,12 @@ class VideoTokenizer:
         dummy_cond = (jnp.zeros((1, cfg.dim_cond), jnp.float32)
                       if parsed.has_cond else None)
         if params is None:
-            params = self.module.init(
-                k_tok, dummy_video, cond=dummy_cond)['params']
+            # jit the whole init: one compiled program instead of thousands
+            # of tiny per-parameter device ops (pathological through a
+            # remote-device tunnel)
+            params = jax.jit(
+                lambda k: self.module.init(k, dummy_video, cond=dummy_cond)
+            )(k_tok)['params']
         self.params = params
 
         # perceptual net (reference magvit2_pytorch.py:1392-1407)
@@ -88,7 +92,7 @@ class VideoTokenizer:
             self.vgg = VGG16Features()
             dummy_img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3),
                                   jnp.float32)
-            self.vgg_params = self.vgg.init(k_vgg, dummy_img)
+            self.vgg_params = jax.jit(self.vgg.init)(k_vgg, dummy_img)
             if exists(cfg.vgg_weights):
                 self.load_vgg_weights(cfg.vgg_weights)
 
@@ -114,7 +118,8 @@ class VideoTokenizer:
             dummy_img = jnp.zeros(
                 (1, cfg.image_size, cfg.image_size, cfg.channels), jnp.float32)
             if discr_params is None:
-                discr_params = self.discr.init(k_discr, dummy_img)['params']
+                discr_params = jax.jit(
+                    lambda k: self.discr.init(k, dummy_img))(k_discr)['params']
             self.discr_params = discr_params
 
             for i, ms_kwargs in enumerate(cfg.multiscale_discrs):

@@ -46,11 +46,12 @@ def _on_tpu() -> bool:
         return False
 
 
-def _flash_friendly(q, k) -> bool:
-    # the Pallas kernel wants lane-aligned head dims and enough rows to tile
-    *_, n, d = q.shape
-    m = k.shape[-2]
-    return d <= 256 and n >= 128 and m >= 128
+def _flash_friendly_nm(n: int, m: int, d: int) -> bool:
+    # profiled on v5e: below ~2k sequence length / 64 head-dim the fused XLA
+    # softmax path beats the Pallas kernel (kernel launch + VMEM streaming
+    # overheads dominate); the tokenizer's axial attention typically sits at
+    # n=256..1024, so flash only engages for large-resolution configs
+    return 64 <= d <= 256 and n >= 2048 and m >= 2048
 
 
 def attend(
@@ -59,24 +60,40 @@ def attend(
     mask=None,
     scale: Optional[float] = None,
     backend: Optional[str] = None,
+    layout: str = 'bhnd',
 ):
-    """q: (b, h, n, d); k, v: (b, h, m, d); mask: (b, h, n, m) bool (True=keep).
+    """Scaled-dot-product attention.
 
-    Returns (b, h, n, d) in q.dtype. Softmax always accumulates in fp32.
+    ``layout='bhnd'``: q (b, h, n, d); k, v (b, h, m, d).
+    ``layout='bnhd'``: q (b, n, h, d); k, v (b, m, h, d) — the projection
+    layout; avoids whole-tensor head transposes (which profiled as pure
+    layout copies on v5e).
+    mask: (b, h, n, m) bool (True=keep). Softmax accumulates in fp32.
     """
+    assert layout in ('bhnd', 'bnhd')
     backend = default(backend, _DEFAULT_BACKEND)
-    n, m = q.shape[-2], k.shape[-2]
+    seq_axis = -2 if layout == 'bhnd' else -3
+    n, m = q.shape[seq_axis], k.shape[seq_axis]
 
     if n == 1 and causal:
         causal = False
 
     if backend == 'auto':
-        backend = 'flash' if (_on_tpu() and _flash_friendly(q, k) and not exists(mask)) else 'xla'
+        backend = 'flash' if (
+            _on_tpu() and _flash_friendly_nm(n, m, q.shape[-1])
+            and not exists(mask)) else 'xla'
 
     if backend == 'flash' and not exists(mask):
         from magvit2_pytorch_tpu.ops.pallas.flash_attention import flash_attention
-        return flash_attention(q, k, v, causal=causal, scale=scale)
+        if layout == 'bnhd':
+            q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        out = flash_attention(q, k, v, causal=causal, scale=scale)
+        if layout == 'bnhd':
+            out = out.transpose(0, 2, 1, 3)
+        return out
 
+    if layout == 'bnhd':
+        return _attend_xla_bnhd(q, k, v, causal=causal, mask=mask, scale=scale)
     return _attend_xla(q, k, v, causal=causal, mask=mask, scale=scale)
 
 
@@ -108,5 +125,38 @@ def _attend_xla(q, k, v, causal, mask, scale):
 
     if exists(row_all_masked):
         out = jnp.where(row_all_masked[..., None], 0.0, out)
+
+    return out.astype(q.dtype)
+
+
+def _attend_xla_bnhd(q, k, v, causal, mask, scale):
+    """Same math as _attend_xla with heads kept in-place: q (b,n,h,d),
+    k/v (b,m,h,d) -> out (b,n,h,d). No input/output transposes — the head
+    axis rides along as an einsum batch dim."""
+    d = q.shape[-1]
+    n, m = q.shape[1], k.shape[1]
+    scale = default(scale, d ** -0.5)
+
+    dots = jnp.einsum('bihd,bjhd->bhij', q, k,
+                      preferred_element_type=jnp.float32) * scale
+
+    mask_value = jnp.finfo(jnp.float32).min
+
+    if causal:
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        causal_mask = j > (i + (m - n))
+        dots = jnp.where(causal_mask, mask_value, dots)
+
+    row_all_masked = None
+    if exists(mask):
+        dots = jnp.where(mask, dots, mask_value)
+        row_all_masked = ~jnp.any(mask, axis=-1)  # (b, h, n)
+
+    attn = jax.nn.softmax(dots, axis=-1)
+    out = jnp.einsum('bhij,bjhd->bihd', attn.astype(v.dtype), v)
+
+    if exists(row_all_masked):
+        out = jnp.where(row_all_masked.transpose(0, 2, 1)[..., None], 0.0, out)
 
     return out.astype(q.dtype)

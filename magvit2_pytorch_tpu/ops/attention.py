@@ -48,10 +48,12 @@ class Attention(nn.Module):
         b, n, _ = x.shape
         qkv = Linear(dim_inner * 3, use_bias=False, name='to_qkv')(x)
         # channel layout (qkv, heads, dim_head) — qkv slowest, matching the
-        # reference's 'b n (qkv h d) -> qkv b h n d'
+        # reference's 'b n (qkv h d) -> qkv b h n d'. Heads STAY in axis 2:
+        # transposing to (b, h, n, d) profiled as pure layout copies on v5e.
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)          # (b, n, h, d) each
-        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (b, h, n, d)
+        q = qkv[:, :, 0]
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]                            # (b, n, h, d) each
 
         if streaming:
             # causal kv-cache: chunked calls attend over the full past; the
@@ -60,31 +62,33 @@ class Attention(nn.Module):
             assert self.causal and not exists(mask)
             cache = self.variable(
                 'cache', 'kv_state',
-                lambda: jnp.zeros((2, b, self.heads, 0, self.dim_head),
+                lambda: jnp.zeros((2, b, 0, self.heads, self.dim_head),
                                   x.dtype))
-            k = jnp.concatenate([cache.value[0].astype(x.dtype), k], axis=-2)
-            v = jnp.concatenate([cache.value[1].astype(x.dtype), v], axis=-2)
+            k = jnp.concatenate([cache.value[0].astype(x.dtype), k], axis=1)
+            v = jnp.concatenate([cache.value[1].astype(x.dtype), v], axis=1)
             cache.value = jnp.stack([k, v])
 
         mem_kv = self.param(
             'mem_kv', nn.initializers.normal(stddev=1.0),
             (2, self.heads, self.num_memory_kv, self.dim_head))
-        mk, mv = jnp.broadcast_to(
-            mem_kv[:, None], (2, b, self.heads, self.num_memory_kv, self.dim_head)
+        mem = jnp.broadcast_to(
+            mem_kv.transpose(0, 2, 1, 3)[:, None],
+            (2, b, self.num_memory_kv, self.heads, self.dim_head),
         ).astype(x.dtype)
-        k = jnp.concatenate((mk, k), axis=-2)
-        v = jnp.concatenate((mv, v), axis=-2)
+        k = jnp.concatenate((mem[0], k), axis=1)
+        v = jnp.concatenate((mem[1], v), axis=1)
 
         if exists(mask):
-            # key padding mask (b, m) -> (b, 1, 1, m); memory kv always visible
+            # key padding mask (b, m) -> (b, h, n, m); memory kv always visible
             mask = jnp.pad(mask, ((0, 0), (self.num_memory_kv, 0)),
                            constant_values=True)
             mask = mask[:, None, None, :]
             mask = jnp.broadcast_to(mask, (b, self.heads, n, mask.shape[-1]))
 
-        out = attend(q, k, v, causal=self.causal, mask=mask, backend=self.backend)
+        out = attend(q, k, v, causal=self.causal, mask=mask,
+                     backend=self.backend, layout='bnhd')
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
+        out = out.reshape(b, n, dim_inner)
         return Linear(self.dim, use_bias=False, name='to_out')(out)
 
 
@@ -111,29 +115,34 @@ class TaylorSeriesLinearAttn(nn.Module):
         b, n, _ = x.shape
 
         qkv = Linear(dim_inner * 3, use_bias=False, name='to_qkv')(x)
+        # heads stay in place ((b, n, h, d)); the feature map stays in the
+        # compute dtype with fp32 accumulation on the contractions — the fp32
+        # (b, h, n, 73)-sized phi tensors previously dominated HBM traffic
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)
-        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (b,h,n,d)
-
-        q = q * (self.dim_head ** -0.5)
+        q = qkv[:, :, 0] * (self.dim_head ** -0.5)
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
 
         def phi(t):
-            t32 = t.astype(jnp.float32)
-            outer = jnp.einsum('bhni,bhnj->bhnij', t32, t32) * (0.5 ** 0.5)
+            outer = jnp.einsum('bnhi,bnhj->bnhij', t, t) * (0.5 ** 0.5)
             d = t.shape[-1]
             return jnp.concatenate([
-                jnp.ones((*t.shape[:-1], 1), jnp.float32),
-                t32,
+                jnp.ones((*t.shape[:-1], 1), t.dtype),
+                t,
                 outer.reshape(*t.shape[:-1], d * d),
             ], axis=-1)
 
         pq, pk = phi(q), phi(k)
-        kv = jnp.einsum('bhnd,bhne->bhde', pk, v.astype(jnp.float32))
-        num = jnp.einsum('bhnd,bhde->bhne', pq, kv)
-        den = jnp.einsum('bhnd,bhd->bhn', pq, pk.sum(axis=-2))
+        kv = jnp.einsum('bnhd,bnhe->bhde', pk, v,
+                        preferred_element_type=jnp.float32)
+        num = jnp.einsum('bnhd,bhde->bnhe', pq, kv.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        den = jnp.einsum('bnhd,bhd->bnh', pq,
+                         pk.sum(axis=1, dtype=jnp.float32).astype(x.dtype),
+                         preferred_element_type=jnp.float32)
         out = num / (den[..., None] + self.eps)
 
-        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
+        out = out.astype(x.dtype).reshape(b, n, dim_inner)
         return Linear(self.dim, use_bias=False, name='to_out')(out)
 
 

@@ -130,18 +130,19 @@ class SqueezeExcite(nn.Module):
         dim_hidden = max(self.dim_hidden_min, dim_out // 2)
 
         is_video = x.ndim == 5
-        orig = x
-        if is_video:
-            b, t, h, w, c = x.shape
-            x = x.reshape(b * t, h, w, c)
+        sp_axes = (-3, -2)  # (h, w); per-frame context for video
 
-        # attention logits over space (1x1 conv -> softmax over h*w)
-        k = Linear(1, name='to_k')(x)                    # (bt, h, w, 1)
-        bt, h, w, _ = x.shape
-        attn = jax.nn.softmax(
-            k.reshape(bt, h * w, 1).astype(jnp.float32), axis=1).astype(x.dtype)
-        context = jnp.einsum(
-            'bnc,bno->boc', x.reshape(bt, h * w, -1), attn)  # (bt, 1, c)
+        # attention logits over space: 1x1 conv -> softmax over (h, w),
+        # computed IN the conv layout with keepdims reductions — flattening to
+        # (bt, hw, c) forced whole-tensor relayouts at the largest feature
+        # maps (~10% of roundtrip time on v5e)
+        k = Linear(1, name='to_k')(x).astype(jnp.float32)  # (..., h, w, 1)
+        k = k - jnp.max(k, axis=sp_axes, keepdims=True)
+        attn = jnp.exp(k)
+        attn = attn / jnp.sum(attn, axis=sp_axes, keepdims=True)
+        context = jnp.sum(
+            x.astype(jnp.float32) * attn, axis=sp_axes, keepdims=True)
+        context = context.astype(x.dtype)                 # (..., 1, 1, c)
 
         g = Linear(dim_hidden, name='gate_in')(context)
         g = leaky_relu(g)
@@ -151,14 +152,9 @@ class SqueezeExcite(nn.Module):
             bias_init=nn.initializers.constant(self.init_bias),
             name='gate_out',
         )(g)
-        gates = jax.nn.sigmoid(gate_out)                 # (bt, 1, c)
+        gates = jax.nn.sigmoid(gate_out)                  # (..., 1, 1, c)
 
-        if is_video:
-            gates = gates.reshape(b, t, 1, 1, dim_out)
-        else:
-            gates = gates.reshape(bt, 1, 1, dim_out)
-
-        return gates * orig
+        return gates * x
 
 
 class Residual(nn.Module):

@@ -133,8 +133,11 @@ class CausalConv3d(nn.Module):
 
 
 class Conv3d1x1(nn.Module):
-    """Pointwise 3D conv (== Dense over the channel axis; XLA lowers both to
-    the same MXU matmul). Parity: reference ``nn.Conv3d(dim, dim, 1)`` uses."""
+    """Pointwise 3D conv. Expressed as a 1x1x1 ``conv_general_dilated`` rather
+    than an einsum: profiling on v5e showed einsum-pointwise ops pick the
+    C-minor layout while neighbouring 3D convs prefer W-minor, and XLA inserts
+    full-tensor layout copies between them (~15% of step time). As a conv, the
+    whole chain keeps one layout. Parity: reference ``nn.Conv3d(dim, dim, 1)``."""
 
     features: int
     use_bias: bool = True
@@ -145,7 +148,12 @@ class Conv3d1x1(nn.Module):
         c_in = x.shape[-1]
         kernel = self.param('kernel', torch_kernel_init, (c_in, self.features))
         dtype = default(self.dtype, x.dtype)
-        out = jnp.einsum('...i,io->...o', x.astype(dtype), kernel.astype(dtype))
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype).reshape(1, 1, 1, c_in, self.features),
+            window_strides=(1, 1, 1),
+            padding=[(0, 0)] * 3,
+            dimension_numbers=DN_3D,
+        )
         if self.use_bias:
             bias = self.param('bias', torch_bias_init(c_in), (self.features,))
             out = out + bias.astype(dtype)
