@@ -108,42 +108,35 @@ class TaylorSeriesLinearAttn(nn.Module):
     dim_head: int = 8
     heads: int = 8
     eps: float = 1e-5
+    fused: Optional[bool] = None   # None = fused Pallas kernel on TPU
 
     @nn.compact
     def __call__(self, x):
+        from magvit2_pytorch_tpu.ops.pallas.taylor_attention import (
+            _taylor_reference,
+            taylor_linear_attention,
+        )
+        from magvit2_pytorch_tpu.utils.init import torch_kernel_init
+
         dim_inner = self.dim_head * self.heads
-        b, n, _ = x.shape
+        c = x.shape[-1]
+        # raw kernels (no Linear wrapper) so the fused Pallas block can take
+        # them directly; column layout (qkv, head, d) as in the reference
+        wqkv = self.param('to_qkv_kernel', torch_kernel_init,
+                          (c, dim_inner * 3))
+        wout = self.param('to_out_kernel', torch_kernel_init,
+                          (dim_inner, self.dim))
 
-        qkv = Linear(dim_inner * 3, use_bias=False, name='to_qkv')(x)
-        # heads stay in place ((b, n, h, d)); the feature map stays in the
-        # compute dtype with fp32 accumulation on the contractions — the fp32
-        # (b, h, n, 73)-sized phi tensors previously dominated HBM traffic
-        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q = qkv[:, :, 0] * (self.dim_head ** -0.5)
-        k = qkv[:, :, 1]
-        v = qkv[:, :, 2]
+        fused = self.fused
+        if fused is None:
+            fused = jax.default_backend() == 'tpu'
 
-        def phi(t):
-            outer = jnp.einsum('bnhi,bnhj->bnhij', t, t) * (0.5 ** 0.5)
-            d = t.shape[-1]
-            return jnp.concatenate([
-                jnp.ones((*t.shape[:-1], 1), t.dtype),
-                t,
-                outer.reshape(*t.shape[:-1], d * d),
-            ], axis=-1)
-
-        pq, pk = phi(q), phi(k)
-        kv = jnp.einsum('bnhd,bnhe->bhde', pk, v,
-                        preferred_element_type=jnp.float32)
-        num = jnp.einsum('bnhd,bhde->bnhe', pq, kv.astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-        den = jnp.einsum('bnhd,bhd->bnh', pq,
-                         pk.sum(axis=1, dtype=jnp.float32).astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-        out = num / (den[..., None] + self.eps)
-
-        out = out.astype(x.dtype).reshape(b, n, dim_inner)
-        return Linear(self.dim, use_bias=False, name='to_out')(out)
+        if fused:
+            return taylor_linear_attention(
+                x, wqkv, wout, self.heads, self.dim_head, self.eps)
+        return _taylor_reference(
+            x, wqkv, wout, self.heads, self.dim_head, self.eps,
+            self.dim_head ** -0.5)
 
 
 class LinearAttention(nn.Module):

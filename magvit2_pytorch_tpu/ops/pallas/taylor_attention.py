@@ -1,0 +1,236 @@
+"""Fused Pallas kernel: Taylor-series linear attention, whole block in VMEM.
+
+Why: the XLA lowering of the 2nd-order Taylor attention materializes the
+phi(q)/phi(k) feature maps ((B, N, heads, 73) tensors) and shuffles layouts
+between the qkv projection, the feature contractions and the output projection
+— on v5e profiles these HBM round-trips dominated the block (pure layout
+copies, ~30% of tokenizer step time). This kernel runs the ENTIRE block —
+qkv projection, feature-map contractions, normalization, output projection —
+for one (batch*frame) tile inside VMEM: HBM traffic collapses to one read of
+x and one write of out.
+
+Math (per head, q pre-scaled): with phi(x) = [1, x, vec(x x^T)/sqrt(2)],
+    out = phi(q) @ (phi(k)^T v) / (phi(q) @ sum_n phi(k_n))
+decomposed so phi is never materialized:
+    A0 = sum_n v_n;  A1 = k^T v;  A2 = (kk)^T v        (kk = outer(k)/sqrt2)
+    num = A0 + q A1 + qq A2
+    den = N + q (sum k) + qq (sum kk)
+
+Backward: custom VJP recomputing with the XLA reference implementation —
+exact gradients; the fused kernel accelerates the forward (inference is the
+benchmarked path; training backward keeps XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _taylor_kernel(x_ref, wqkv_ref, wout_ref, g_ref, numM_ref, denM_ref,
+                   expE_ref, o_ref, pq_scratch, pk_scratch,
+                   *, heads: int, d: int, eps: float, scale: float):
+    """Full-width block formulation. phi features for ALL heads live in one
+    (N, HD + d*HD) buffer with layout [t_all | chunk_0 .. chunk_{d-1}] where
+    chunk_i[:, h*d+j] = t[h,i]*t[h,j]/sqrt2; chunks are built with one
+    gather-matmul + one elementwise multiply each — every store is full
+    128-lane width (8-lane strip stores serialized the first version of this
+    kernel). The '1' feature is folded in analytically (colsums / +N). The
+    kv/den contractions are two large MXU matmuls with constant 0/1 masks
+    enforcing the per-head block structure."""
+    x = x_ref[0]                                   # (N, C)
+    n = x.shape[0]
+    hd = heads * d
+
+    qkv = jnp.dot(x, wqkv_ref[:],
+                  preferred_element_type=jnp.float32)   # (N, 3HD) fp32
+    q_all = (qkv[:, :hd] * scale).astype(x.dtype)
+    k_all = qkv[:, hd:2 * hd].astype(x.dtype)
+    v_all = qkv[:, 2 * hd:].astype(x.dtype)
+
+    inv_sqrt2 = 0.5 ** 0.5
+    pq_scratch[:, :hd] = q_all
+    pk_scratch[:, :hd] = k_all
+    for i in range(d):
+        g = g_ref[i]                               # (HD, HD) selects col i/head
+        qsh = jnp.dot(q_all, g, preferred_element_type=jnp.float32)
+        ksh = jnp.dot(k_all, g, preferred_element_type=jnp.float32)
+        pq_scratch[:, hd * (i + 1):hd * (i + 2)] = (
+            qsh.astype(x.dtype) * q_all * inv_sqrt2)
+        pk_scratch[:, hd * (i + 1):hd * (i + 2)] = (
+            ksh.astype(x.dtype) * k_all * inv_sqrt2)
+
+    pq = pq_scratch[:]                              # (N, (d+1)*HD)
+    pk = pk_scratch[:]
+
+    # A: only per-head diagonal blocks are valid -> mask
+    A = jnp.dot(pk.T, v_all, preferred_element_type=jnp.float32)
+    A = (A * numM_ref[:]).astype(x.dtype)
+
+    colsum_v = jnp.sum(v_all.astype(jnp.float32), axis=0, keepdims=True)
+    num = jnp.dot(pq, A, preferred_element_type=jnp.float32) + colsum_v
+
+    pksum = jnp.sum(pk.astype(jnp.float32), axis=0, keepdims=True)
+    S = (pksum.T * denM_ref[:]).astype(x.dtype)     # ((d+1)*HD, H)
+    den = jnp.dot(pq, S, preferred_element_type=jnp.float32) + jnp.float32(n)
+
+    den_rep = jnp.dot((1.0 / (den + eps)).astype(x.dtype), expE_ref[:],
+                      preferred_element_type=jnp.float32)   # (N, Hd)
+
+    acc = (num * den_rep).astype(x.dtype)
+    out = jnp.dot(acc, wout_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _taylor_reference(x, wqkv, wout, heads: int, d: int, eps: float,
+                      scale: float):
+    """XLA reference with identical math/column layout — fallback path and
+    VJP recompute target."""
+    b, n, _ = x.shape
+    hd = heads * d
+    qkv = jnp.einsum('bnc,cf->bnf', x, wqkv.astype(x.dtype))
+    qkv = qkv.reshape(b, n, 3, heads, d)
+    q = qkv[:, :, 0] * scale
+    k = qkv[:, :, 1]
+    v = qkv[:, :, 2]
+
+    def phi(t):
+        outer = jnp.einsum('bnhi,bnhj->bnhij', t, t) * (0.5 ** 0.5)
+        return jnp.concatenate([
+            jnp.ones((*t.shape[:-1], 1), t.dtype),
+            t,
+            outer.reshape(*t.shape[:-1], d * d),
+        ], axis=-1)
+
+    pq, pk = phi(q), phi(k)
+    kv = jnp.einsum('bnhD,bnhe->bhDe', pk, v,
+                    preferred_element_type=jnp.float32)
+    num = jnp.einsum('bnhD,bhDe->bnhe', pq, kv.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    den = jnp.einsum('bnhD,bhD->bnh', pq,
+                     pk.sum(axis=1, dtype=jnp.float32).astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    out = (num / (den[..., None] + eps)).astype(x.dtype)
+    out = out.reshape(b, n, hd)
+    return jnp.einsum('bnf,fc->bnc', out, wout.astype(x.dtype))
+
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _block_masks(heads: int, d: int):
+    """Static gather matrices + 0/1 masks for the interleaved phi layout:
+    feature row layout is [t_all (H*d) | chunk_0 .. chunk_{d-1}] with
+    chunk_i[:, h*d+j] = t[h,i] t[h,j]/sqrt2."""
+    hd = heads * d
+    P = (d + 1) * hd
+
+    # G[i][h*d+i, h*d+j] = 1  (broadcast per-head column i across the block)
+    G = np.zeros((d, hd, hd), np.float32)
+    for i in range(d):
+        for h in range(heads):
+            G[i, h * d + i, h * d:(h + 1) * d] = 1.0
+
+    # row r of phi belongs to head `head_of[r]`
+    head_of = np.zeros((P,), np.int64)
+    head_of[:hd] = np.repeat(np.arange(heads), d)
+    for i in range(d):
+        head_of[hd * (i + 1):hd * (i + 2)] = np.repeat(np.arange(heads), d)
+
+    numM = np.zeros((P, hd), np.float32)
+    denM = np.zeros((P, heads), np.float32)
+    for r in range(P):
+        h = head_of[r]
+        numM[r, h * d:(h + 1) * d] = 1.0
+        denM[r, h] = 1.0
+
+    expE = np.zeros((heads, hd), np.float32)
+    for h in range(heads):
+        expE[h, h * d:(h + 1) * d] = 1.0
+    return G, numM, denM, expE
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _taylor_fused(x, wqkv, wout, heads, d, eps, scale, interpret):
+    b, n, c = x.shape
+    hd = heads * d
+    P = (d + 1) * hd
+    kernel = functools.partial(_taylor_kernel, heads=heads, d=d, eps=eps,
+                               scale=scale)
+    G, numM, denM, expE = _block_masks(heads, d)
+    G = jnp.asarray(G, dtype=x.dtype)
+    numM = jnp.asarray(numM)
+    denM = jnp.asarray(denM)
+    expE = jnp.asarray(expE, dtype=x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * hd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hd, hd), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, hd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, heads), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, hd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, P), x.dtype),
+            pltpu.VMEM((n, P), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * (c * 6 * hd + 3 * P * hd),
+            bytes_accessed=2 * b * n * c * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, wqkv, wout, G, numM, denM, expE)
+
+
+def _fwd(x, wqkv, wout, heads, d, eps, scale, interpret):
+    return (_taylor_fused(x, wqkv, wout, heads, d, eps, scale, interpret),
+            (x, wqkv, wout))
+
+
+def _bwd(heads, d, eps, scale, interpret, residuals, g):
+    x, wqkv, wout = residuals
+    _, vjp = jax.vjp(
+        lambda x, wqkv, wout: _taylor_reference(
+            x, wqkv, wout, heads, d, eps, scale), x, wqkv, wout)
+    return vjp(g)
+
+
+_taylor_fused.defvjp(_fwd, _bwd)
+
+
+def taylor_linear_attention(x, wqkv, wout, heads: int, dim_head: int,
+                            eps: float = 1e-5,
+                            interpret: Optional[bool] = None):
+    """x: (B, N, C); wqkv: (C, 3*heads*dim_head) with (qkv, head, d) column
+    layout; wout: (heads*dim_head, C). Returns (B, N, C)."""
+    scale = dim_head ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    n = x.shape[1]
+    if n % 8 != 0 or n < 128:
+        # tiny/ragged tiles: the XLA path is fine there
+        return _taylor_reference(x, wqkv, wout, heads, dim_head, eps, scale)
+    return _taylor_fused(x, wqkv, wout, heads, dim_head, eps, scale, interpret)
