@@ -129,6 +129,42 @@ def _attend_xla(q, k, v, causal, mask, scale):
     return out.astype(q.dtype)
 
 
+def attend_with_memory(q, k, v, mem_k, mem_v, causal: bool = False,
+                       scale: Optional[float] = None):
+    """Attention with learned memory key/values WITHOUT concatenating them
+    into k/v: the concat produced pad+relayout copies dominating small axial
+    attentions on v5e. Joint softmax over two logit tensors instead.
+
+    q, k, v: (b, n, h, d); mem_k, mem_v: (h, m, d). Memory tokens are visible
+    to every query (right-aligned causal semantics of the reference,
+    attend.py:109-129)."""
+    d = q.shape[-1]
+    n = q.shape[1]
+    scale = default(scale, d ** -0.5)
+
+    dots = jnp.einsum('bihd,bjhd->bhij', q, k,
+                      preferred_element_type=jnp.float32) * scale
+    dots_mem = jnp.einsum('bihd,hmd->bhim', q, mem_k,
+                          preferred_element_type=jnp.float32) * scale
+
+    m_seq = k.shape[1]
+    if causal and n > 1:
+        # right-aligned for kv-cache streaming (m_seq >= n)
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, m_seq), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, m_seq), 1)
+        dots = jnp.where(j > i + (m_seq - n), jnp.finfo(jnp.float32).min, dots)
+
+    mx = jnp.maximum(jnp.max(dots, axis=-1), jnp.max(dots_mem, axis=-1))
+    e_seq = jnp.exp(dots - mx[..., None])
+    e_mem = jnp.exp(dots_mem - mx[..., None])
+    den = e_seq.sum(axis=-1) + e_mem.sum(axis=-1)         # (b, h, i)
+
+    out = (jnp.einsum('bhij,bjhd->bihd', e_seq.astype(v.dtype), v)
+           + jnp.einsum('bhim,hmd->bihd', e_mem.astype(v.dtype), mem_v))
+    out = out / den.transpose(0, 2, 1)[..., None]
+    return out.astype(q.dtype)
+
+
 def _attend_xla_bnhd(q, k, v, causal, mask, scale):
     """Same math as _attend_xla with heads kept in-place: q (b,n,h,d),
     k/v (b,m,h,d) -> out (b,n,h,d). No input/output transposes — the head

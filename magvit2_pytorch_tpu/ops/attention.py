@@ -71,22 +71,32 @@ class Attention(nn.Module):
         mem_kv = self.param(
             'mem_kv', nn.initializers.normal(stddev=1.0),
             (2, self.heads, self.num_memory_kv, self.dim_head))
-        mem = jnp.broadcast_to(
-            mem_kv.transpose(0, 2, 1, 3)[:, None],
-            (2, b, self.num_memory_kv, self.heads, self.dim_head),
-        ).astype(x.dtype)
-        k = jnp.concatenate((mem[0], k), axis=1)
-        v = jnp.concatenate((mem[1], v), axis=1)
 
-        if exists(mask):
-            # key padding mask (b, m) -> (b, h, n, m); memory kv always visible
-            mask = jnp.pad(mask, ((0, 0), (self.num_memory_kv, 0)),
-                           constant_values=True)
-            mask = mask[:, None, None, :]
-            mask = jnp.broadcast_to(mask, (b, self.heads, n, mask.shape[-1]))
+        if not exists(mask) and self.backend != 'flash':
+            # joint softmax over (sequence, memory) logits — no concat, no
+            # pad/relayout copies (profiled hotspot on v5e)
+            from magvit2_pytorch_tpu.ops.attend import attend_with_memory
+            out = attend_with_memory(
+                q, k, v, mem_kv[0].astype(x.dtype), mem_kv[1].astype(x.dtype),
+                causal=self.causal)
+        else:
+            mem = jnp.broadcast_to(
+                mem_kv.transpose(0, 2, 1, 3)[:, None],
+                (2, b, self.num_memory_kv, self.heads, self.dim_head),
+            ).astype(x.dtype)
+            k = jnp.concatenate((mem[0], k), axis=1)
+            v = jnp.concatenate((mem[1], v), axis=1)
 
-        out = attend(q, k, v, causal=self.causal, mask=mask,
-                     backend=self.backend, layout='bnhd')
+            if exists(mask):
+                # key padding mask (b, m) -> (b, h, n, m); memory always visible
+                mask = jnp.pad(mask, ((0, 0), (self.num_memory_kv, 0)),
+                               constant_values=True)
+                mask = mask[:, None, None, :]
+                mask = jnp.broadcast_to(
+                    mask, (b, self.heads, n, mask.shape[-1]))
+
+            out = attend(q, k, v, causal=self.causal, mask=mask,
+                         backend=self.backend, layout='bnhd')
 
         out = out.reshape(b, n, dim_inner)
         return Linear(self.dim, use_bias=False, name='to_out')(out)
@@ -108,35 +118,27 @@ class TaylorSeriesLinearAttn(nn.Module):
     dim_head: int = 8
     heads: int = 8
     eps: float = 1e-5
-    fused: Optional[bool] = None   # None = fused Pallas kernel on TPU
+    impl: str = 'auto'   # 'auto' | 'interleaved' | 'fused' | 'reference'
 
     @nn.compact
     def __call__(self, x):
         from magvit2_pytorch_tpu.ops.pallas.taylor_attention import (
-            _taylor_reference,
             taylor_linear_attention,
         )
         from magvit2_pytorch_tpu.utils.init import torch_kernel_init
 
         dim_inner = self.dim_head * self.heads
         c = x.shape[-1]
-        # raw kernels (no Linear wrapper) so the fused Pallas block can take
-        # them directly; column layout (qkv, head, d) as in the reference
+        # raw kernels (no Linear wrapper) so the fused implementations can
+        # take them directly; column layout (qkv, head, d) as in the reference
         wqkv = self.param('to_qkv_kernel', torch_kernel_init,
                           (c, dim_inner * 3))
         wout = self.param('to_out_kernel', torch_kernel_init,
                           (dim_inner, self.dim))
 
-        fused = self.fused
-        if fused is None:
-            fused = jax.default_backend() == 'tpu'
-
-        if fused:
-            return taylor_linear_attention(
-                x, wqkv, wout, self.heads, self.dim_head, self.eps)
-        return _taylor_reference(
+        return taylor_linear_attention(
             x, wqkv, wout, self.heads, self.dim_head, self.eps,
-            self.dim_head ** -0.5)
+            impl=self.impl)
 
 
 class LinearAttention(nn.Module):
