@@ -98,6 +98,9 @@ class TokenizerConfig:
     multiscale_adversarial_loss_weight: float = 1.0
     flash_attn: bool = True
     separate_first_frame_encoding: bool = False
+    # extension (north-star; reference README TODO): axial rotary positions in
+    # space/time attention layers
+    use_rotary_pos_emb: bool = False
 
     def __post_init__(self):
         # normalize layer defs to tuples for hashability / JSON round-trip
@@ -196,7 +199,8 @@ def _build_layer(spec: LayerSpec, config: TokenizerConfig, name: str, encoder: b
         return Sequential([
             Residual(SpaceAttention(
                 dim=dim, dim_cond=dc, dim_head=config.attn_dim_head,
-                heads=config.attn_heads, backend=backend)),
+                heads=config.attn_heads, backend=backend,
+                use_rotary=config.use_rotary_pos_emb)),
             Residual(FeedForward(dim, dim_cond=dc)),
         ], name=name)
 
@@ -225,7 +229,8 @@ def _build_layer(spec: LayerSpec, config: TokenizerConfig, name: str, encoder: b
         return Sequential([
             Residual(TokenShift(TimeAttention(
                 dim=dim, dim_cond=dc, dim_head=config.attn_dim_head,
-                heads=config.attn_heads, causal=True, backend=backend))),
+                heads=config.attn_heads, causal=True, backend=backend,
+                use_rotary=config.use_rotary_pos_emb))),
             Residual(TokenShift(FeedForward(dim, dim_cond=dc))),
         ], name=name)
 

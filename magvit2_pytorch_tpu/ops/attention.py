@@ -34,9 +34,11 @@ class Attention(nn.Module):
     heads: int = 8
     num_memory_kv: int = 4
     backend: Optional[str] = None
+    use_rotary: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, cond=None, streaming: bool = False):
+    def __call__(self, x, mask=None, cond=None, streaming: bool = False,
+                 rope=None):
         assert self.num_memory_kv > 0
         dim_inner = self.dim_head * self.heads
 
@@ -64,9 +66,25 @@ class Attention(nn.Module):
                 'cache', 'kv_state',
                 lambda: jnp.zeros((2, b, 0, self.heads, self.dim_head),
                                   x.dtype))
+            if self.use_rotary:
+                # rotate with absolute positions offset by the cached length;
+                # cached keys were rotated when first seen
+                from magvit2_pytorch_tpu.ops.rotary import apply_rope, rope_angles
+                offset = cache.value.shape[2]
+                cos, sin = rope_angles(
+                    jnp.arange(offset, offset + n), self.dim_head)
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
             k = jnp.concatenate([cache.value[0].astype(x.dtype), k], axis=1)
             v = jnp.concatenate([cache.value[1].astype(x.dtype), v], axis=1)
             cache.value = jnp.stack([k, v])
+        elif self.use_rotary:
+            from magvit2_pytorch_tpu.ops.rotary import apply_rope, rope_angles
+            if rope is None:
+                rope = rope_angles(jnp.arange(n), self.dim_head)
+            cos, sin = rope
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
 
         mem_kv = self.param(
             'mem_kv', nn.initializers.normal(stddev=1.0),
@@ -183,14 +201,20 @@ def _time_to_seq(x):
 
 class SpaceAttention(Attention):
     """Axial full attention over h*w per (batch, frame) (reference
-    magvit2_pytorch.py:444-454)."""
+    magvit2_pytorch.py:444-454). With ``use_rotary``, positions are axial 2D
+    RoPE over (row, col)."""
 
     @nn.compact
     def __call__(self, x, mask=None, cond=None):
+        h, w = x.shape[-3], x.shape[-2]
+        rope = None
+        if self.use_rotary:
+            from magvit2_pytorch_tpu.ops.rotary import rope_angles_2d
+            rope = rope_angles_2d(h, w, self.dim_head)
         seq, restore = _space_to_seq(x)
         if exists(cond):
             cond = jnp.repeat(cond, seq.shape[0] // cond.shape[0], axis=0)
-        out = super().__call__(seq, mask=mask, cond=cond)
+        out = super().__call__(seq, mask=mask, cond=cond, rope=rope)
         return restore(out)
 
 
