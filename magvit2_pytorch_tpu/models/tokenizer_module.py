@@ -200,6 +200,7 @@ def _build_layer(spec: LayerSpec, config: TokenizerConfig, name: str, encoder: b
             Residual(SpaceAttention(
                 dim=dim, dim_cond=dc, dim_head=config.attn_dim_head,
                 heads=config.attn_heads, backend=backend,
+                dropout=config.attn_dropout,
                 use_rotary=config.use_rotary_pos_emb)),
             Residual(FeedForward(dim, dim_cond=dc)),
         ], name=name)
@@ -230,6 +231,7 @@ def _build_layer(spec: LayerSpec, config: TokenizerConfig, name: str, encoder: b
             Residual(TokenShift(TimeAttention(
                 dim=dim, dim_cond=dc, dim_head=config.attn_dim_head,
                 heads=config.attn_heads, causal=True, backend=backend,
+                dropout=config.attn_dropout,
                 use_rotary=config.use_rotary_pos_emb))),
             Residual(TokenShift(FeedForward(dim, dim_cond=dc))),
         ], name=name)

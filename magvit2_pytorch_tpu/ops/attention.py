@@ -35,6 +35,8 @@ class Attention(nn.Module):
     num_memory_kv: int = 4
     backend: Optional[str] = None
     use_rotary: bool = False
+    dropout: float = 0.0   # attention-prob dropout (reference attn_dropout);
+                           # active only when a 'dropout' rng is provided
 
     @nn.compact
     def __call__(self, x, mask=None, cond=None, streaming: bool = False,
@@ -90,7 +92,32 @@ class Attention(nn.Module):
             'mem_kv', nn.initializers.normal(stddev=1.0),
             (2, self.heads, self.num_memory_kv, self.dim_head))
 
-        if not exists(mask) and self.backend != 'flash':
+        use_dropout = self.dropout > 0 and self.has_rng('dropout')
+
+        if use_dropout:
+            # explicit-probs path so dropout applies to attention weights
+            # (reference Attend attn_dropout, attend.py:79-80,239)
+            mem = jnp.broadcast_to(
+                mem_kv.transpose(0, 2, 1, 3)[:, None],
+                (2, b, self.num_memory_kv, self.heads, self.dim_head),
+            ).astype(x.dtype)
+            kd = jnp.concatenate((mem[0], k), axis=1)
+            vd = jnp.concatenate((mem[1], v), axis=1)
+            m_len = kd.shape[1]
+            dots = jnp.einsum('bihd,bjhd->bhij', q, kd,
+                              preferred_element_type=jnp.float32)
+            dots = dots * (self.dim_head ** -0.5)
+            if self.causal:
+                i = jax.lax.broadcasted_iota(jnp.int32, (n, m_len), 0)
+                j = jax.lax.broadcasted_iota(jnp.int32, (n, m_len), 1)
+                dots = jnp.where(j > i + (m_len - n),
+                                 jnp.finfo(jnp.float32).min, dots)
+            probs = jax.nn.softmax(dots, axis=-1)
+            keep = jax.random.bernoulli(
+                self.make_rng('dropout'), 1.0 - self.dropout, probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - self.dropout), 0.0)
+            out = jnp.einsum('bhij,bjhd->bihd', probs.astype(x.dtype), vd)
+        elif not exists(mask) and self.backend != 'flash':
             # joint softmax over (sequence, memory) logits — no concat, no
             # pad/relayout copies (profiled hotspot on v5e)
             from magvit2_pytorch_tpu.ops.attend import attend_with_memory

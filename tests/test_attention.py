@@ -156,3 +156,22 @@ def test_gateloop_layer_and_totimesequence():
     x2[:, 3:] += 5.0
     out2 = mod.apply(params, jnp.asarray(x2))
     np.testing.assert_allclose(_np(out)[:, :3], _np(out2)[:, :3], atol=1e-5)
+
+
+def test_attention_dropout_gated_by_rng():
+    """dropout active only when a 'dropout' rng is provided; deterministic
+    otherwise (reference attn_dropout parity)."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 12, 16)).astype(np.float32))
+    mod = Attention(dim=16, dim_head=8, heads=2, dropout=0.5)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    # no rng -> deterministic, equal across calls
+    o1 = np.asarray(mod.apply(params, x))
+    o2 = np.asarray(mod.apply(params, x))
+    np.testing.assert_array_equal(o1, o2)
+
+    # with rngs -> stochastic
+    oa = np.asarray(mod.apply(params, x, rngs={'dropout': jax.random.PRNGKey(1)}))
+    ob = np.asarray(mod.apply(params, x, rngs={'dropout': jax.random.PRNGKey(2)}))
+    assert np.abs(oa - ob).max() > 1e-6
