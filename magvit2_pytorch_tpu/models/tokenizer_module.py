@@ -101,6 +101,10 @@ class TokenizerConfig:
     # extension (north-star; reference README TODO): axial rotary positions in
     # space/time attention layers
     use_rotary_pos_emb: bool = False
+    # rematerialize each encoder/decoder layer in the backward pass — trades
+    # one extra forward of FLOPs for O(depth) less activation HBM (the 128px
+    # README config cannot train in one v5e chip's 16G without it)
+    remat: bool = False
 
     def __post_init__(self):
         # normalize layer defs to tuples for hashability / JSON round-trip
@@ -373,7 +377,7 @@ class TokenizerModule(nn.Module):
             kwargs = dict(cond=cond) if (has_cond and exists(cond)) else dict()
             if streaming:
                 kwargs['streaming'] = True
-            x = self._apply_layer(layer, x, **kwargs)
+            x = self._apply_layer(layer, x, remat=self.config.remat, **kwargs)
 
         return self.final_norm(x)
 
@@ -398,7 +402,7 @@ class TokenizerModule(nn.Module):
             kwargs = dict(cond=cond) if (has_cond and exists(cond)) else dict()
             if streaming:
                 kwargs['streaming'] = True
-            x = self._apply_layer(layer, x, **kwargs)
+            x = self._apply_layer(layer, x, remat=self.config.remat, **kwargs)
         return x
 
     def decode_pixels(self, x, video_contains_first_frame: bool = True,
@@ -444,11 +448,20 @@ class TokenizerModule(nn.Module):
         return recon, qout
 
     @staticmethod
-    def _apply_layer(layer, x, **kwargs):
+    def _apply_layer(layer, x, remat: bool = False, **kwargs):
         # the reference tracks conditioning as a *running* flag, so layers
         # after the first cond layer are handed `cond` whether or not they use
         # it (magvit2_pytorch.py:1565-1572) — filter by acceptance
         from magvit2_pytorch_tpu.ops.basic import _accepts_kwargs
         if not kwargs or not _accepts_kwargs(layer, kwargs):
+            kwargs = {}
+        if remat and 'streaming' not in kwargs:
+            if 'cond' in kwargs:
+                fn = nn.remat(lambda mdl, x, cond: mdl(x, cond=cond),
+                              prevent_cse=False)
+                return fn(layer, x, kwargs['cond'])
+            fn = nn.remat(lambda mdl, x: mdl(x), prevent_cse=False)
+            return fn(layer, x)
+        if not kwargs:
             return layer(x)
         return layer(x, **kwargs)

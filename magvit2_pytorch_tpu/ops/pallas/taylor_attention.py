@@ -224,10 +224,12 @@ def _taylor_fused(x, wqkv, wout, heads, d, eps, scale, interpret):
     b, n, c = x.shape
     hd = heads * d
     P = (d + 1) * hd
-    # several frames per grid step amortize per-invocation overhead
+    # several frames per grid step amortize per-invocation overhead; cap the
+    # per-step input block around 4MB so blocks + phi scratch fit VMEM
+    itemsize = jnp.dtype(x.dtype).itemsize
     F = 1
     for cand in (8, 5, 4, 2):
-        if b % cand == 0:
+        if b % cand == 0 and cand * n * c * itemsize <= 4 * 1024 * 1024:
             F = cand
             break
     kernel = functools.partial(_taylor_kernel, heads=heads, d=d, eps=eps,
@@ -302,7 +304,13 @@ def taylor_linear_attention(x, wqkv, wout, heads: int, dim_head: int,
     einsums elsewhere), or explicit 'fused' | 'interleaved' | 'reference'."""
     scale = dim_head ** -0.5
     if impl == 'auto':
-        impl = 'fused' if jax.default_backend() == 'tpu' else 'reference'
+        n = x.shape[1]
+        P = (dim_head + 1) * heads * dim_head
+        itemsize = jnp.dtype(x.dtype).itemsize
+        phi_bytes = 2 * n * P * itemsize
+        fits = phi_bytes <= 24 * 1024 * 1024 and n <= 2048
+        impl = ('fused' if (jax.default_backend() == 'tpu' and fits)
+                else 'reference')
     if impl == 'interleaved':
         return _taylor_interleaved_xla(x, wqkv, wout, heads, dim_head, eps,
                                        scale)

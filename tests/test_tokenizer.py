@@ -201,3 +201,32 @@ def test_copy_for_eval():
     video = rng.normal(size=(1, 3, 32, 32, 3)).astype(np.float32)
     np.testing.assert_array_equal(
         np.asarray(tok.tokenize(video)), np.asarray(ev.tokenize(video)))
+
+
+def test_remat_matches_no_remat():
+    """Layer rematerialization must not change values or gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    common = dict(
+        image_size=16, init_dim=8, codebook_size=64,
+        layers=('residual', ('compress_space', 12), ('compress_time', 12)),
+        use_gan=False, perceptual_loss_weight=0.0, seed=0,
+    )
+    tok_a = VideoTokenizer(**common)
+    tok_b = VideoTokenizer(**common, remat=True)
+
+    video = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(1, 3, 16, 16, 3)).astype(np.float32))
+
+    def loss(module, params, v):
+        recon, _ = module.apply({'params': params}, v)
+        return jnp.mean((recon - v) ** 2)
+
+    la, ga = jax.value_and_grad(
+        lambda p: loss(tok_a.module, p, video))(tok_a.params)
+    lb, gb = jax.value_and_grad(
+        lambda p: loss(tok_b.module, p, video))(tok_b.params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
