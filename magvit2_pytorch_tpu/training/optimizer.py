@@ -30,7 +30,11 @@ def get_optimizer(
     warmup_steps: int = 0,
     max_grad_norm: Optional[float] = None,
     scheduler=None,
+    skip_nonfinite_updates: bool = True,
 ) -> optax.GradientTransformation:
+    """``skip_nonfinite_updates`` mirrors accelerate's skipped-step detection
+    (reference trainer.py:379,440): a step whose gradients contain NaN/inf is
+    dropped instead of poisoning the params."""
     b1, b2 = betas
 
     if exists(scheduler):
@@ -51,5 +55,8 @@ def get_optimizer(
 
     if exists(max_grad_norm):
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+
+    if skip_nonfinite_updates:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10)
 
     return tx

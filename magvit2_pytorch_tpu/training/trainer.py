@@ -466,10 +466,26 @@ class VideoTokenizerTrainer:
             valid_videos.append(np.asarray(valid_video))
             recon_videos.append(np.asarray(ema_recon))
 
+        # north-star metrics (BASELINE.json): recon PSNR + codebook utilization
+        from magvit2_pytorch_tpu.training.metrics import (
+            codebook_utilization,
+            psnr,
+        )
+        last_valid = jnp.asarray(valid_videos[-1])
+        last_recon = jnp.clip(jnp.asarray(recon_videos[-1]), 0, 1)
+        valid_psnr = float(psnr(last_valid, last_recon))
+        codes = ema_model.tokenize(last_valid)
+        utilization = float(codebook_utilization(
+            codes, ema_model.codebook_size))
+
         self.log(valid_recon_loss=recon_loss,
-                 valid_ema_recon_loss=ema_recon_loss)
+                 valid_ema_recon_loss=ema_recon_loss,
+                 valid_psnr=valid_psnr,
+                 codebook_utilization=utilization)
         self.print(f'validation recon loss {recon_loss:.3f}')
         self.print(f'validation EMA recon loss {ema_recon_loss:.3f}')
+        self.print(f'validation PSNR {valid_psnr:.2f} dB | codebook '
+                   f'utilization {utilization:.3f}')
 
         if not save_recons:
             return recon_loss, ema_recon_loss
