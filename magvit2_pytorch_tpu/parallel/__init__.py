@@ -5,4 +5,6 @@ from magvit2_pytorch_tpu.parallel.mesh import (
     replicate,
     replicated_sharding,
     shard_batch,
+    shard_params_tensor_parallel,
+    tensor_parallel_shardings,
 )

@@ -63,3 +63,32 @@ def replicate(tree, mesh: Mesh):
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+def tensor_parallel_shardings(params, mesh: Mesh,
+                              min_elements: int = 1 << 14):
+    """Channel-parallel param placement over the 'tensor' mesh axis: large
+    float leaves whose trailing (output-channel) dim divides the axis get
+    sharded there; everything else is replicated. XLA GSPMD then partitions
+    the matmuls/convs and inserts the boundary all-gathers over ICI — the
+    'pick a mesh, annotate shardings, let XLA insert collectives' recipe.
+
+    Conservative by design: correctness is XLA's job; this only declares
+    placement. (The reference has no TP at all — SURVEY.md §2.9.)"""
+    tp = mesh.shape['tensor']
+
+    def spec_for(leaf):
+        if (tp > 1 and hasattr(leaf, 'ndim') and leaf.ndim >= 2
+                and leaf.size >= min_elements
+                and leaf.shape[-1] % tp == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (leaf.ndim - 1)), 'tensor'))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, params)
+
+
+def shard_params_tensor_parallel(params, mesh: Mesh,
+                                 min_elements: int = 1 << 14):
+    shardings = tensor_parallel_shardings(params, mesh, min_elements)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -92,6 +92,7 @@ class VideoTokenizerTrainer:
         dataset_kwargs: Optional[dict] = None,
         mesh=None,
         policy: Optional[Policy] = None,
+        tensor_parallel: bool = False,
         seed: int = 0,
         profile_dir: Optional[str] = None,
     ):
@@ -177,10 +178,18 @@ class VideoTokenizerTrainer:
         self.ema_config = EMAConfig(**ema_kwargs)
         self.ema_params = jax.tree.map(jnp.copy, model.params)
 
-        # replicate state over the mesh
-        self.model.params = replicate(self.model.params, self.mesh)
-        self.ema_params = replicate(self.ema_params, self.mesh)
-        self.opt_state = replicate(self.opt_state, self.mesh)
+        # place state over the mesh: replicated, or channel-sharded over the
+        # 'tensor' axis when tensor parallelism is requested
+        if tensor_parallel and self.mesh.shape.get('tensor', 1) > 1:
+            from magvit2_pytorch_tpu.parallel.mesh import (
+                shard_params_tensor_parallel,
+            )
+            place = lambda tree: shard_params_tensor_parallel(tree, self.mesh)
+        else:
+            place = lambda tree: replicate(tree, self.mesh)
+        self.model.params = place(self.model.params)
+        self.ema_params = place(self.ema_params)
+        self.opt_state = place(self.opt_state)
         if self.has_gan:
             self.model.discr_params = replicate(
                 self.model.discr_params, self.mesh)

@@ -158,3 +158,20 @@ def test_trainer_with_video_files_dataset(tmp_path):
                        mesh=make_mesh(data=4, devices=jax.devices()[:4]))
     m = trainer.train_step(cycle(trainer.dataloader))
     assert np.isfinite(m['total_loss'])
+
+
+def test_tensor_parallel_mesh_training(tmp_path):
+    """dp x tp mesh: batch over 'data', large channel dims over 'tensor' —
+    XLA GSPMD inserts the collectives (beyond-reference capability)."""
+    import jax
+
+    from magvit2_pytorch_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, tensor=2, devices=jax.devices()[:8])
+    model = _model(use_gan=False)
+    trainer = _trainer(model, tmp_path, batch_size=4, mesh=mesh,
+                       tensor_parallel=True)
+    m = trainer.train_step(cycle(trainer.dataloader))
+    assert np.isfinite(m['total_loss'])
+    m2 = trainer.train_step(cycle(trainer.dataloader))
+    assert np.isfinite(m2['total_loss'])
