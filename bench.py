@@ -24,11 +24,11 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--batch', type=int, default=8)
+    parser.add_argument('--batch', type=int, default=32)
     parser.add_argument('--frames', type=int, default=17)
     parser.add_argument('--image-size', type=int, default=128)
-    parser.add_argument('--n-short', type=int, default=4)
-    parser.add_argument('--n-long', type=int, default=24)
+    parser.add_argument('--n-short', type=int, default=2)
+    parser.add_argument('--n-long', type=int, default=10)
     parser.add_argument('--dtype', default='bfloat16')
     args = parser.parse_args()
 
