@@ -166,7 +166,7 @@ class TaylorSeriesLinearAttn(nn.Module):
     impl: str = 'auto'   # 'auto' | 'interleaved' | 'fused' | 'reference'
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, gamma=None):
         from magvit2_pytorch_tpu.ops.pallas.taylor_attention import (
             taylor_linear_attention,
         )
@@ -181,28 +181,39 @@ class TaylorSeriesLinearAttn(nn.Module):
         wout = self.param('to_out_kernel', torch_kernel_init,
                           (dim_inner, self.dim))
 
+        # gamma: fuse the preceding RMSNorm into the attention block (saves a
+        # full-tensor fp32 relayout at the kernel boundary)
         return taylor_linear_attention(
             x, wqkv, wout, self.heads, self.dim_head, self.eps,
-            impl=self.impl)
+            impl=self.impl, gamma=gamma)
 
 
 class LinearAttention(nn.Module):
     """(Adaptive)RMSNorm pre-norm around TaylorSeriesLinearAttn (reference
-    magvit2_pytorch.py:390-430)."""
+    magvit2_pytorch.py:390-430). The plain-RMSNorm case hands gamma to the
+    attention block so the norm fuses into the Pallas kernel."""
 
     dim: int
     dim_cond: Optional[int] = None
     dim_head: int = 8
     heads: int = 8
 
-    @nn.compact
-    def __call__(self, x, cond=None):
+    def setup(self):
         if exists(self.dim_cond):
-            x = AdaptiveRMSNorm(self.dim, dim_cond=self.dim_cond, name='norm')(x, cond)
+            self.norm = AdaptiveRMSNorm(self.dim, dim_cond=self.dim_cond,
+                                        name='norm')
         else:
-            x = RMSNorm(self.dim, name='norm')(x)
-        return TaylorSeriesLinearAttn(
-            self.dim, dim_head=self.dim_head, heads=self.heads, name='attn')(x)
+            self.norm = RMSNorm(self.dim, name='norm')
+        self.attn = TaylorSeriesLinearAttn(
+            self.dim, dim_head=self.dim_head, heads=self.heads, name='attn')
+
+    def _attend(self, x, cond):
+        if exists(self.dim_cond):
+            return self.attn(self.norm(x, cond))
+        return self.attn(x, gamma=self.norm.gamma)
+
+    def __call__(self, x, cond=None):
+        return self._attend(x, cond)
 
 
 def _space_to_seq(x):
@@ -262,10 +273,9 @@ class LinearSpaceAttention(LinearAttention):
     """Axial linear attention over h*w (reference magvit2_pytorch.py:432-442).
     Works on video (b,t,h,w,c) and images (b,h,w,c)."""
 
-    @nn.compact
     def __call__(self, x, cond=None):
         seq, restore = _space_to_seq(x)
         if exists(cond):
             cond = jnp.repeat(cond, seq.shape[0] // cond.shape[0], axis=0)
-        out = super().__call__(seq, cond=cond)
+        out = self._attend(seq, cond)
         return restore(out)

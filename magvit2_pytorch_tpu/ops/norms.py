@@ -19,19 +19,24 @@ from magvit2_pytorch_tpu.utils.helpers import l2norm
 class RMSNorm(nn.Module):
     """``F.normalize(x, dim=channel) * sqrt(dim) * gamma (+ beta)``
     (reference magvit2_pytorch.py:258-276). Note this is *l2*-normalize — not
-    the 1/rms variant — matching the reference exactly."""
+    the 1/rms variant — matching the reference exactly.
+
+    setup-based so fused kernels can read ``gamma`` without applying the
+    module (norm-inside-kernel path)."""
 
     dim: int
     bias: bool = False
 
-    @nn.compact
-    def __call__(self, x):
-        gamma = self.param('gamma', nn.initializers.ones, (self.dim,))
-        out32 = l2norm(x.astype(jnp.float32)) * (self.dim ** 0.5)
-        out = out32.astype(x.dtype) * gamma.astype(x.dtype)
+    def setup(self):
+        self.gamma = self.param('gamma', nn.initializers.ones, (self.dim,))
         if self.bias:
-            beta = self.param('beta', nn.initializers.zeros, (self.dim,))
-            out = out + beta.astype(x.dtype)
+            self.beta = self.param('beta', nn.initializers.zeros, (self.dim,))
+
+    def __call__(self, x):
+        out32 = l2norm(x.astype(jnp.float32)) * (self.dim ** 0.5)
+        out = out32.astype(x.dtype) * self.gamma.astype(x.dtype)
+        if self.bias:
+            out = out + self.beta.astype(x.dtype)
         return out
 
 

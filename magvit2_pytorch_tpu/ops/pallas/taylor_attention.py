@@ -32,9 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _taylor_kernel(x_ref, wqkv_ref, wout_ref, g_ref, numM_ref, denM_ref,
-                   expE_ref, o_ref, pq_scratch, pk_scratch,
-                   *, heads: int, d: int, eps: float, scale: float):
+def _taylor_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, g_ref, numM_ref,
+                   denM_ref, expE_ref, o_ref, pq_scratch, pk_scratch,
+                   *, heads: int, d: int, eps: float, scale: float,
+                   apply_norm: bool):
     """Full-width block formulation. phi features for ALL heads live in one
     (N, HD + d*HD) buffer with layout [t_all | chunk_0 .. chunk_{d-1}] where
     chunk_i[:, h*d+j] = t[h,i]*t[h,j]/sqrt2; chunks are built with one
@@ -45,17 +46,28 @@ def _taylor_kernel(x_ref, wqkv_ref, wout_ref, g_ref, numM_ref, denM_ref,
     enforcing the per-head block structure."""
     frames = x_ref.shape[0]
     for f in range(frames):
-        _taylor_frame(x_ref, wqkv_ref, wout_ref, g_ref, numM_ref, denM_ref,
-                      expE_ref, o_ref, pq_scratch, pk_scratch, f,
-                      heads=heads, d=d, eps=eps, scale=scale)
+        _taylor_frame(x_ref, gamma_ref, wqkv_ref, wout_ref, g_ref, numM_ref,
+                      denM_ref, expE_ref, o_ref, pq_scratch, pk_scratch, f,
+                      heads=heads, d=d, eps=eps, scale=scale,
+                      apply_norm=apply_norm)
 
 
-def _taylor_frame(x_ref, wqkv_ref, wout_ref, g_ref, numM_ref, denM_ref,
-                  expE_ref, o_ref, pq_scratch, pk_scratch, f,
-                  *, heads: int, d: int, eps: float, scale: float):
+def _taylor_frame(x_ref, gamma_ref, wqkv_ref, wout_ref, g_ref, numM_ref,
+                  denM_ref, expE_ref, o_ref, pq_scratch, pk_scratch, f,
+                  *, heads: int, d: int, eps: float, scale: float,
+                  apply_norm: bool):
     x = x_ref[f]                                   # (N, C)
     n = x.shape[0]
     hd = heads * d
+
+    if apply_norm:
+        # reference RMSNorm = l2norm(x) * sqrt(C) * gamma, fused in VMEM —
+        # the separate norm op forced fp32 relayout copies at the kernel
+        # boundary (~12% of roundtrip)
+        x32 = x.astype(jnp.float32)
+        ss = jnp.sum(x32 * x32, axis=1, keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(ss, 1e-24)) * (x.shape[1] ** 0.5)
+        x = (x32 * inv).astype(x.dtype) * gamma_ref[0].astype(x.dtype)
 
     qkv = jnp.dot(x, wqkv_ref[:],
                   preferred_element_type=jnp.float32)   # (N, 3HD) fp32
@@ -150,10 +162,20 @@ def _taylor_interleaved_xla(x, wqkv, wout, heads: int, d: int, eps: float,
     return jnp.einsum('bnf,fc->bnc', acc, wout.astype(x.dtype))
 
 
+def _rmsnorm_ref(x, gamma):
+    n32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(n32 * n32, axis=-1, keepdims=True),
+                                1e-24))
+    out = n32 / norm * (x.shape[-1] ** 0.5)
+    return out.astype(x.dtype) * gamma.astype(x.dtype)
+
+
 def _taylor_reference(x, wqkv, wout, heads: int, d: int, eps: float,
-                      scale: float):
+                      scale: float, gamma=None):
     """XLA reference with identical math/column layout — fallback path and
     VJP recompute target."""
+    if gamma is not None:
+        x = _rmsnorm_ref(x, gamma)
     b, n, _ = x.shape
     hd = heads * d
     qkv = jnp.einsum('bnc,cf->bnf', x, wqkv.astype(x.dtype))
@@ -219,8 +241,9 @@ def _block_masks(heads: int, d: int):
     return G, numM, denM, expE
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _taylor_fused(x, wqkv, wout, heads, d, eps, scale, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _taylor_fused(x, gamma, wqkv, wout, heads, d, eps, scale, interpret,
+                  apply_norm):
     b, n, c = x.shape
     hd = heads * d
     P = (d + 1) * hd
@@ -233,7 +256,7 @@ def _taylor_fused(x, wqkv, wout, heads, d, eps, scale, interpret):
             F = cand
             break
     kernel = functools.partial(_taylor_kernel, heads=heads, d=d, eps=eps,
-                               scale=scale)
+                               scale=scale, apply_norm=apply_norm)
     G, numM, denM, expE = _block_masks(heads, d)
     G = jnp.asarray(G, dtype=x.dtype)
     numM = jnp.asarray(numM)
@@ -244,6 +267,8 @@ def _taylor_fused(x, wqkv, wout, heads, d, eps, scale, interpret):
         grid=(b // F,),
         in_specs=[
             pl.BlockSpec((F, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * hd), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -273,20 +298,25 @@ def _taylor_fused(x, wqkv, wout, heads, d, eps, scale, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, wqkv, wout, G, numM, denM, expE)
+    )(x, gamma.reshape(1, c), wqkv, wout, G, numM, denM, expE)
 
 
-def _fwd(x, wqkv, wout, heads, d, eps, scale, interpret):
-    return (_taylor_fused(x, wqkv, wout, heads, d, eps, scale, interpret),
-            (x, wqkv, wout))
+def _fwd(x, gamma, wqkv, wout, heads, d, eps, scale, interpret, apply_norm):
+    return (_taylor_fused(x, gamma, wqkv, wout, heads, d, eps, scale,
+                          interpret, apply_norm),
+            (x, gamma, wqkv, wout))
 
 
-def _bwd(heads, d, eps, scale, interpret, residuals, g):
-    x, wqkv, wout = residuals
+def _bwd(heads, d, eps, scale, interpret, apply_norm, residuals, g):
+    x, gamma, wqkv, wout = residuals
     _, vjp = jax.vjp(
-        lambda x, wqkv, wout: _taylor_reference(
-            x, wqkv, wout, heads, d, eps, scale), x, wqkv, wout)
-    return vjp(g)
+        lambda x, gamma, wqkv, wout: _taylor_reference(
+            x, wqkv, wout, heads, d, eps, scale,
+            gamma=gamma if apply_norm else None), x, gamma, wqkv, wout)
+    dx, dgamma, dwqkv, dwout = vjp(g)
+    if not apply_norm:
+        dgamma = jnp.zeros_like(gamma)
+    return dx, dgamma, dwqkv, dwout
 
 
 _taylor_fused.defvjp(_fwd, _bwd)
@@ -295,7 +325,7 @@ _taylor_fused.defvjp(_fwd, _bwd)
 def taylor_linear_attention(x, wqkv, wout, heads: int, dim_head: int,
                             eps: float = 1e-5,
                             interpret: Optional[bool] = None,
-                            impl: str = 'auto'):
+                            impl: str = 'auto', gamma=None):
     """x: (B, N, C); wqkv: (C, 3*heads*dim_head) with (qkv, head, d) column
     layout; wout: (heads*dim_head, C). Returns (B, N, C).
 
@@ -303,6 +333,7 @@ def taylor_linear_attention(x, wqkv, wout, heads: int, dim_head: int,
     792 reference vs 771 interleaved fps on the flagship bench — reference
     einsums elsewhere), or explicit 'fused' | 'interleaved' | 'reference'."""
     scale = dim_head ** -0.5
+    apply_norm = gamma is not None
     if impl == 'auto':
         n = x.shape[1]
         P = (dim_head + 1) * heads * dim_head
@@ -312,6 +343,8 @@ def taylor_linear_attention(x, wqkv, wout, heads: int, dim_head: int,
         impl = ('fused' if (jax.default_backend() == 'tpu' and fits)
                 else 'reference')
     if impl == 'interleaved':
+        if apply_norm:
+            x = _rmsnorm_ref(x, gamma)
         return _taylor_interleaved_xla(x, wqkv, wout, heads, dim_head, eps,
                                        scale)
     if impl == 'fused':
@@ -320,7 +353,9 @@ def taylor_linear_attention(x, wqkv, wout, heads: int, dim_head: int,
         n = x.shape[1]
         if n % 8 != 0 or n < 128:
             return _taylor_reference(x, wqkv, wout, heads, dim_head, eps,
-                                     scale)
-        return _taylor_fused(x, wqkv, wout, heads, dim_head, eps, scale,
-                             interpret)
-    return _taylor_reference(x, wqkv, wout, heads, dim_head, eps, scale)
+                                     scale, gamma=gamma)
+        g = gamma if apply_norm else jnp.ones((x.shape[-1],), x.dtype)
+        return _taylor_fused(x, g, wqkv, wout, heads, dim_head, eps, scale,
+                             interpret, apply_norm)
+    return _taylor_reference(x, wqkv, wout, heads, dim_head, eps, scale,
+                             gamma=gamma)

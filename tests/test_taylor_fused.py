@@ -26,7 +26,9 @@ def _setup(n=256, c=32, seed=0):
 
 def test_fused_matches_reference():
     x, wqkv, wout = _setup()
-    out_fused = _taylor_fused(x, wqkv, wout, HEADS, D, 1e-5, D ** -0.5, True)
+    gamma = jnp.ones((x.shape[-1],), x.dtype)
+    out_fused = _taylor_fused(x, gamma, wqkv, wout, HEADS, D, 1e-5, D ** -0.5,
+                              True, False)
     out_ref = _taylor_reference(x, wqkv, wout, HEADS, D, 1e-5, D ** -0.5)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                atol=2e-4, rtol=1e-3)
@@ -35,9 +37,11 @@ def test_fused_matches_reference():
 def test_fused_gradients_match_reference():
     x, wqkv, wout = _setup(n=128, c=16)
 
+    gamma = jnp.ones((x.shape[-1],), x.dtype)
+
     def loss_fused(x, wqkv, wout):
-        return jnp.sum(_taylor_fused(x, wqkv, wout, HEADS, D, 1e-5,
-                                     D ** -0.5, True) ** 2)
+        return jnp.sum(_taylor_fused(x, gamma, wqkv, wout, HEADS, D, 1e-5,
+                                     D ** -0.5, True, False) ** 2)
 
     def loss_ref(x, wqkv, wout):
         return jnp.sum(_taylor_reference(x, wqkv, wout, HEADS, D, 1e-5,
@@ -55,3 +59,16 @@ def test_wrapper_falls_back_on_small_n():
     out = taylor_linear_attention(x, wqkv, wout, HEADS, D)
     ref = _taylor_reference(x, wqkv, wout, HEADS, D, 1e-5, D ** -0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_with_norm_matches_reference():
+    x, wqkv, wout = _setup(n=128, c=16, seed=7)
+    gamma = jnp.asarray(np.random.default_rng(8).uniform(
+        0.5, 1.5, size=(16,)).astype(np.float32))
+    out_fused = _taylor_fused(x, gamma, wqkv, wout, HEADS, D, 1e-5,
+                              D ** -0.5, True, True)
+    from magvit2_pytorch_tpu.ops.pallas.taylor_attention import _rmsnorm_ref
+    out_ref = _taylor_reference(_rmsnorm_ref(x, gamma), wqkv, wout, HEADS, D,
+                                1e-5, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               atol=2e-4, rtol=1e-3)
