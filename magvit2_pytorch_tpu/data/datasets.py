@@ -52,12 +52,14 @@ class ImageDataset:
     def __init__(self, folder, image_size: int, channels: int = 3,
                  convert_image_to: Optional[str] = None,
                  exts=('jpg', 'jpeg', 'png'), random_hflip: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, output_dtype: str = 'float32'):
         folder = Path(folder)
         assert folder.is_dir(), f'{folder} must be a folder containing images'
+        assert output_dtype in ('float32', 'uint8')
         self.folder = folder
         self.image_size = image_size
         self.random_hflip = random_hflip
+        self.output_dtype = output_dtype
         self._rng = np.random.default_rng(seed)
 
         exts = list(exts) + [e.upper() for e in exts]
@@ -78,14 +80,19 @@ class ImageDataset:
         if self.random_hflip and self._rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         img = _center_crop_pil(img, self.image_size)
-        arr = np.asarray(img, dtype=np.float32) / 255.0
+        if self.output_dtype == 'uint8':
+            # normalization deferred to batch collate (native assemble_batch)
+            arr = np.asarray(img, dtype=np.uint8)
+        else:
+            arr = np.asarray(img, dtype=np.float32) / 255.0
         if arr.ndim == 2:
             arr = arr[..., None]
         return arr
 
 
 def _resize_crop_video(arr: np.ndarray, size: int) -> np.ndarray:
-    """(T, H, W, C) -> resize shorter side to ``size`` + center crop."""
+    """(T, H, W, C) -> resize shorter side to ``size`` + center crop.
+    dtype-preserving (uint8 in -> uint8 out: 4x less host memory traffic)."""
     import cv2
 
     t, h, w, c = arr.shape
@@ -93,7 +100,7 @@ def _resize_crop_video(arr: np.ndarray, size: int) -> np.ndarray:
         nh, nw = size, max(1, round(w * size / h))
     else:
         nh, nw = max(1, round(h * size / w)), size
-    out = np.empty((t, nh, nw, c), np.float32)
+    out = np.empty((t, nh, nw, c), arr.dtype)
     for i in range(t):
         frame = cv2.resize(arr[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
         out[i] = frame.reshape(nh, nw, c)
@@ -107,12 +114,14 @@ class VideoDataset:
 
     def __init__(self, folder, image_size: int, channels: int = 3,
                  num_frames: int = 17, force_num_frames: bool = True,
-                 exts=('gif', 'mp4')):
+                 exts=('gif', 'mp4'), output_dtype: str = 'float32'):
         folder = Path(folder)
         assert folder.is_dir(), f'{folder} must be a folder containing videos'
+        assert output_dtype in ('float32', 'uint8')
         self.folder = folder
         self.image_size = image_size
         self.channels = channels
+        self.output_dtype = output_dtype
         self.paths = [p for ext in exts for p in folder.glob(f'**/*.{ext}')]
         print(f'{len(self.paths)} training samples found at {folder}')
 
@@ -126,26 +135,42 @@ class VideoDataset:
     def __getitem__(self, index) -> np.ndarray:
         path = self.paths[index]
         ext = path.suffix
+        normalize = self.output_dtype == 'float32'
         if ext == '.gif':
-            arr = gif_to_array(str(path), channels=self.channels)
+            arr = gif_to_array(str(path), channels=self.channels,
+                               normalize=normalize)
         elif ext == '.mp4':
-            arr = video_to_array(str(path))
+            arr = video_to_array(str(path), normalize=normalize)
         else:
             raise ValueError(f'unknown extension {ext}')
         arr = _resize_crop_video(arr, self.image_size)
         return self.cast_num_frames_fn(arr)
 
 
+def _stack_normalized(arrays):
+    """Stack per-sample arrays into one float32 [0,1] batch. uint8 inputs go
+    through the native multi-threaded assembler (native/batch_ops.cpp) — this
+    IS the product data path when datasets run with output_dtype='uint8'
+    (numpy fallback inside assemble_batch when the .so is unavailable)."""
+    if arrays[0].dtype == np.uint8:
+        from magvit2_pytorch_tpu.native import assemble_batch
+        if arrays[0].ndim == 3:  # images: fake a time axis for the assembler
+            return assemble_batch([a[None] for a in arrays])[:, 0]
+        return assemble_batch(list(arrays))
+    return np.stack(arrays)
+
+
 def collate_arrays_and_strings(items):
-    """Stack arrays; pass string tuples through (reference
+    """Stack arrays (normalizing uint8 batches to float32 via the native
+    assembler); pass string tuples through (reference
     collate_tensors_and_strings, data.py:288-305)."""
     if all(isinstance(it, np.ndarray) for it in items):
-        return (np.stack(items),)
+        return (_stack_normalized(items),)
 
     out = []
     for datum in zip(*items):
         if all(isinstance(d, np.ndarray) for d in datum):
-            out.append(np.stack(datum))
+            out.append(_stack_normalized(list(datum)))
         elif all(isinstance(d, str) for d in datum):
             out.append(list(datum))
         else:

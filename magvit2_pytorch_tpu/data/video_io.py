@@ -60,13 +60,18 @@ def video_tensor_to_gif(tensor, path: str, **kwargs):
     return video_array_to_gif(arr, path, **kwargs)
 
 
-def gif_to_array(path: str, channels: int = 3) -> np.ndarray:
+def gif_to_array(path: str, channels: int = 3,
+                 normalize: bool = True) -> np.ndarray:
     """gif -> (T, H, W, C) float32 [0,1] (reference gif_to_tensor,
-    data.py:150-157)."""
+    data.py:150-157). ``normalize=False`` keeps raw uint8 — the batch
+    assembler (native/batch_ops.cpp) normalizes whole batches at collate."""
     img = Image.open(path)
-    frames = [np.asarray(f, dtype=np.float32) / 255.0
+    dtype = np.float32 if normalize else np.uint8
+    frames = [np.asarray(f, dtype=dtype)
               for f in seek_all_images(img, channels=channels)]
     arr = np.stack(frames)
+    if normalize:
+        arr = arr / np.float32(255.0)
     if arr.ndim == 3:
         arr = arr[..., None]
     return arr
@@ -80,9 +85,11 @@ def crop_center(img: np.ndarray, cropx: int, cropy: int) -> np.ndarray:
     return img[starty:starty + cropy, startx:startx + cropx]
 
 
-def video_to_array(path: str, num_frames: int = -1, crop_size=None) -> np.ndarray:
-    """mp4 -> (T, H, W, C) float32 RGB [0,1] (reference video_to_tensor,
-    data.py:161-191; BGR->RGB flip preserved)."""
+def video_to_array(path: str, num_frames: int = -1, crop_size=None,
+                   normalize: bool = True) -> np.ndarray:
+    """mp4 -> (T, H, W, C) RGB (reference video_to_tensor, data.py:161-191;
+    BGR->RGB flip preserved). float32 [0,1] by default; ``normalize=False``
+    keeps uint8 for the native batch assembler."""
     import cv2
 
     video = cv2.VideoCapture(path)
@@ -96,11 +103,13 @@ def video_to_array(path: str, num_frames: int = -1, crop_size=None) -> np.ndarra
         frames.append(frame)
     video.release()
 
-    arr = np.stack(frames).astype(np.float32) / 255.0
-    arr = arr[..., ::-1].copy()  # BGR -> RGB
+    arr = np.stack(frames)
     if num_frames > 0:
         arr = arr[:num_frames]
-    return arr
+    arr = arr[..., ::-1]  # BGR -> RGB
+    if normalize:
+        return arr.astype(np.float32) / np.float32(255.0)
+    return np.ascontiguousarray(arr)
 
 
 def array_to_video(array, path: str, fps: int = 25, video_format: str = 'MP4V'):

@@ -10,9 +10,16 @@ tokenize whole clips.
 
 Chunk grammar: the first chunk holds the first frame plus a multiple of
 ``time_downsample_factor`` frames (e.g. 1 + 16); every later chunk holds a
-multiple of ``time_downsample_factor``. Restrictions (round 1):
-``attend_time`` / ``gateloop_time`` layers need kv/scan-state carry and are
-rejected; spatial + ``attend_space`` layers stream fine (they are per-frame).
+multiple of ``time_downsample_factor``.
+
+Supported layers: every layer type streams — spatial/``attend_space`` ops are
+per-frame, causal convs carry the last ``k_t - 1`` frames, ``attend_time``
+carries its kv cache, ``gateloop_time`` carries its recurrence state, and
+TokenShift carries one frame (all bit-exactness tested in
+tests/test_streaming.py). Conditioned (``cond_*``) layers stream with a fixed
+per-stream ``cond`` vector. The one unsupported mode is
+``separate_first_frame_encoding`` (its first-frame stem needs whole-clip
+packing semantics) — rejected at session construction.
 """
 
 from __future__ import annotations
@@ -29,10 +36,22 @@ from magvit2_pytorch_tpu.utils.helpers import divisible_by, exists
 class StreamingSession:
     """One stateful encode and/or decode stream over a ``VideoTokenizer``."""
 
-    def __init__(self, tokenizer):
+    def __init__(self, tokenizer, cond=None):
+        # unsupported modes fail HERE, not deep inside a jitted apply
+        assert not tokenizer.config.separate_first_frame_encoding, (
+            'streaming does not support separate_first_frame_encoding: its '
+            'first-frame stem has whole-clip packing semantics — construct '
+            'the tokenizer without it to stream')
+        if tokenizer.config.parsed().has_cond:
+            assert cond is not None, (
+                'this tokenizer has conditioned (cond_*) layers — pass the '
+                'per-sample `cond` vector to StreamingSession(tokenizer, '
+                'cond=...); it is fixed for the life of the stream')
+
         self.tokenizer = tokenizer
         self.module: TokenizerModule = tokenizer.module
         self.params = tokenizer.params
+        self.cond = None if cond is None else jnp.asarray(cond)
         self.tp = tokenizer.time_padding
         self.tdf = tokenizer.time_downsample_factor
 
@@ -67,18 +86,19 @@ class StreamingSession:
             assert divisible_by(chunk.shape[1], self.tdf), (
                 f'chunks must hold multiples of {self.tdf} frames')
 
-        def _enc(params, cache, chunk):
+        def _enc(params, cache, chunk, cond):
             variables = {'params': params}
             if exists(cache):
                 variables['cache'] = cache
             latents, mutated = self.module.apply(
-                variables, chunk, video_contains_first_frame=False,
+                variables, chunk, cond=cond, video_contains_first_frame=False,
                 streaming=True, mutable=['cache'],
                 method=TokenizerModule.encode)
             return latents, mutated['cache']
 
         fn = self._jitted(('enc', chunk.shape, exists(self._enc_cache)), _enc)
-        latents, self._enc_cache = fn(self.params, self._enc_cache, chunk)
+        latents, self._enc_cache = fn(
+            self.params, self._enc_cache, chunk, self.cond)
         self._enc_chunks += 1
 
         if not quantize:
@@ -96,7 +116,7 @@ class StreamingSession:
         codes = jnp.asarray(codes)
         first = self._dec_chunks == 0
 
-        def _dec(params, cache, codes):
+        def _dec(params, cache, codes, cond):
             quantized = self.module.apply(
                 {'params': params}, codes,
                 method=TokenizerModule.indices_to_codes)
@@ -104,13 +124,15 @@ class StreamingSession:
             if exists(cache):
                 variables['cache'] = cache
             recon, mutated = self.module.apply(
-                variables, quantized, video_contains_first_frame=False,
+                variables, quantized, cond=cond,
+                video_contains_first_frame=False,
                 streaming=True, mutable=['cache'],
                 method=TokenizerModule.decode)
             return recon, mutated['cache']
 
         fn = self._jitted(('dec', codes.shape, exists(self._dec_cache)), _dec)
-        recon, self._dec_cache = fn(self.params, self._dec_cache, codes)
+        recon, self._dec_cache = fn(
+            self.params, self._dec_cache, codes, self.cond)
         self._dec_chunks += 1
 
         if first:
@@ -118,7 +140,8 @@ class StreamingSession:
         return recon
 
 
-def tokenize_streaming(tokenizer, video, chunk_frames: Optional[int] = None):
+def tokenize_streaming(tokenizer, video, chunk_frames: Optional[int] = None,
+                       cond=None):
     """Convenience: chunked tokenize of a whole (B, T, H, W, C) video.
     ``chunk_frames`` must be a multiple of time_downsample_factor (default:
     4 * tdf)."""
@@ -130,7 +153,7 @@ def tokenize_streaming(tokenizer, video, chunk_frames: Optional[int] = None):
     assert divisible_by(t - 1, tdf), (
         'video must hold 1 + k*tdf frames (first-frame convention)')
 
-    session = StreamingSession(tokenizer)
+    session = StreamingSession(tokenizer, cond=cond)
     codes = []
     first_len = 1 + min(chunk_frames, t - 1)
     codes.append(session.encode_chunk(video[:, :first_len]))
@@ -142,14 +165,15 @@ def tokenize_streaming(tokenizer, video, chunk_frames: Optional[int] = None):
     return jnp.concatenate(codes, axis=1)
 
 
-def decode_streaming(tokenizer, codes, chunk_latents: Optional[int] = None):
+def decode_streaming(tokenizer, codes, chunk_latents: Optional[int] = None,
+                     cond=None):
     """Convenience: chunked decode of (B, T', H', W') code indices."""
     tdf = tokenizer.time_downsample_factor
     tp = tokenizer.time_padding
     chunk_latents = chunk_latents or 4
 
     t = codes.shape[1]
-    session = StreamingSession(tokenizer)
+    session = StreamingSession(tokenizer, cond=cond)
     frames = []
     first_len = min(chunk_latents + (tp + 1) // tdf, t)
     frames.append(session.decode_chunk(codes[:, :first_len]))

@@ -350,7 +350,9 @@ class TokenizerModule(nn.Module):
         ``video_contains_first_frame=False``."""
         cfg = self.config
         if streaming:
-            assert not self.parsed_layers.has_cond, 'streaming + cond: TODO'
+            # cond streams fine (per-sample vector, constant across chunks);
+            # separate_first_frame_encoding is rejected up-front by
+            # StreamingSession.__init__
             assert not cfg.separate_first_frame_encoding
 
         encode_first_frame_separately = (
@@ -451,10 +453,9 @@ class TokenizerModule(nn.Module):
     def _apply_layer(layer, x, remat: bool = False, **kwargs):
         # the reference tracks conditioning as a *running* flag, so layers
         # after the first cond layer are handed `cond` whether or not they use
-        # it (magvit2_pytorch.py:1565-1572) — filter by acceptance
-        from magvit2_pytorch_tpu.ops.basic import _accepts_kwargs
-        if not kwargs or not _accepts_kwargs(layer, kwargs):
-            kwargs = {}
+        # it (magvit2_pytorch.py:1565-1572) — filter by acceptance, per key
+        from magvit2_pytorch_tpu.ops.basic import _filter_kwargs
+        kwargs = _filter_kwargs(layer, kwargs)
         if remat and 'streaming' not in kwargs:
             if 'cond' in kwargs:
                 fn = nn.remat(lambda mdl, x, cond: mdl(x, cond=cond),

@@ -20,18 +20,28 @@ _lib = None
 _build_attempted = False
 
 
+def _stale() -> bool:
+    """True when the library is missing or older than batch_ops.cpp (an edited
+    source must not be shadowed by a stale binary)."""
+    if not _LIB_PATH.exists():
+        return True
+    src = _DIR / 'batch_ops.cpp'
+    return src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_attempted
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and not _build_attempted:
+    if _stale() and not _build_attempted:
         _build_attempted = True
         try:
-            subprocess.run(['make', '-C', str(_DIR)], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(['make', '-C', str(_DIR), '--always-make'],
+                           check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
-    if not _LIB_PATH.exists():
+            pass
+    if _stale():
+        # never load a binary older than its source — numpy fallback instead
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))

@@ -101,11 +101,9 @@ class TokenShift(nn.Module):
             x_shift = jnp.pad(
                 x_shift, [(0, 0), (1, 0)] + [(0, 0)] * (x.ndim - 2))[:, :-1]
         x = jnp.concatenate((x_main, x_shift), axis=-1)
-        if streaming and _accepts_kwargs(self.fn, {'streaming': True}):
+        if streaming:
             kwargs = {**kwargs, 'streaming': True}
-        if kwargs and not _accepts_kwargs(self.fn, kwargs):
-            kwargs = {}
-        return self.fn(x, **kwargs)
+        return self.fn(x, **_filter_kwargs(self.fn, kwargs))
 
 
 class SqueezeExcite(nn.Module):
@@ -164,8 +162,7 @@ class Residual(nn.Module):
 
     @nn.compact
     def __call__(self, x, **kwargs):
-        if kwargs and not _accepts_kwargs(self.fn, kwargs):
-            kwargs = {}
+        kwargs = _filter_kwargs(self.fn, kwargs)
         return self.fn(x, **kwargs) + x
 
 
@@ -178,7 +175,7 @@ class Sequential(nn.Module):
     @nn.compact
     def __call__(self, x, **kwargs):
         for fn in self.fns:
-            x = fn(x, **kwargs) if kwargs and _accepts_kwargs(fn, kwargs) else fn(x)
+            x = fn(x, **_filter_kwargs(fn, kwargs))
         return x
 
 
@@ -192,3 +189,17 @@ def _accepts_kwargs(mod, kwargs) -> bool:
     if any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
         return True
     return all(k in params for k in kwargs)
+
+
+def _filter_kwargs(mod, kwargs) -> dict:
+    """Keep only the kwargs ``mod.__call__`` accepts — per key, so e.g. a
+    cond-layer without a streaming path still receives ``cond``."""
+    import inspect
+    try:
+        sig = inspect.signature(type(mod).__call__)
+    except (TypeError, ValueError):
+        return {}
+    params = sig.parameters
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+        return dict(kwargs)
+    return {k: v for k, v in kwargs.items() if k in params}

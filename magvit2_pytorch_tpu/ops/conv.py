@@ -277,7 +277,7 @@ class Conv3DMod(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, fmap, cond):
+    def __call__(self, fmap, cond, streaming: bool = False):
         assert is_odd(self.spatial_kernel) and is_odd(self.time_kernel)
         dim_out = default(self.dim_out, self.dim)
         kt, ks = self.time_kernel, self.spatial_kernel
@@ -305,6 +305,19 @@ class Conv3DMod(nn.Module):
             time_pad = (kt - 1, 0)
         else:
             time_pad = (kt // 2, kt // 2)
+
+        if streaming and self.causal and kt > 1:
+            # carry the causal time history across chunks (same contract as
+            # CausalConv3d streaming above)
+            assert self.pad_mode in ('constant', 'zeros'), (
+                'streaming requires zero pad_mode')
+            b, _, fh, fw, c_in = fmap.shape
+            cache = self.variable(
+                'cache', 'time_state',
+                lambda: jnp.zeros((b, kt - 1, fh, fw, c_in), dtype))
+            fmap = jnp.concatenate([cache.value.astype(dtype), fmap], axis=1)
+            cache.value = fmap[:, -(kt - 1):]
+            time_pad = (0, 0)
 
         pads = [time_pad, (sp, sp), (sp, sp)]
         if self.pad_mode in ('constant', 'zeros'):

@@ -121,16 +121,25 @@ class LFQ(nn.Module):
         c, d = self.num_codebooks, self.codebook_dim
         z = seq.reshape(b, n, c, d).astype(jnp.float32)
 
+        # spherical = BSQ semantics (package `maybe_l2norm`): unit-normalize
+        # the input AND the quantized codes, so codes live at ±1/sqrt(d)
         if self.spherical:
-            z = l2norm(z) * (d ** 0.5)
+            z = l2norm(z)
 
         if exists(self.soft_clamp_input_value):
             v = self.soft_clamp_input_value
             z = jnp.tanh(z / v) * v
 
-        # sign quantize with straight-through estimator
+        # sign quantize; straight-through estimator only when training — in
+        # eval the package returns the exact code values (±1, or ±1/sqrt(d)
+        # when spherical), not `z + (codes - z)` which can differ by 1 ulp
         codes = jnp.where(z > 0, 1.0, -1.0)
-        quantized = z + jax.lax.stop_gradient(codes - z)
+        if self.spherical:
+            codes = codes / (d ** 0.5)
+        if train:
+            quantized = z + jax.lax.stop_gradient(codes - z)
+        else:
+            quantized = codes
 
         # indices: MSB-first bit pack of the positive bits
         bits = (z > 0).astype(jnp.uint32)
@@ -166,6 +175,8 @@ class LFQ(nn.Module):
         if self.codebook_size <= self.entropy_full_max_size:
             # exact: softmax over the full ±1 codebook via one matmul
             codebook = self.full_codebook()                       # (K, d)
+            if self.spherical:
+                codebook = codebook / (self.codebook_dim ** 0.5)
             logits = 2.0 * t * jnp.einsum('bncd,kd->bnck', z, codebook)
             logp = jax.nn.log_softmax(logits, axis=-1)
             p = jnp.exp(logp)
@@ -178,7 +189,8 @@ class LFQ(nn.Module):
         # factorized: the 2^d codebook factorizes over bits, so the per-sample
         # entropy is an exact sum of binary entropies; diversity uses per-bit
         # marginals (surrogate; see module docstring)
-        p_pos = jax.nn.sigmoid(4.0 * t * z)                       # (b, n, c, d)
+        scale = (self.codebook_dim ** -0.5) if self.spherical else 1.0
+        p_pos = jax.nn.sigmoid(4.0 * t * scale * z)               # (b, n, c, d)
 
         def binary_entropy(p):
             p = jnp.clip(p, 1e-7, 1 - 1e-7)
@@ -205,6 +217,8 @@ class LFQ(nn.Module):
         iu = indices.astype(jnp.uint32)
         bits = (iu[..., None] & self._bit_mask()) != 0
         codes = jnp.where(bits, 1.0, -1.0).astype(jnp.float32)   # (..., c, d)
+        if self.spherical:
+            codes = codes / (self.codebook_dim ** 0.5)
         codes = codes.reshape(*codes.shape[:-2], self.codebook_dims)
         if self.dim != self.codebook_dims:
             codes = self.project_out(codes)

@@ -227,7 +227,7 @@ class ResidualUnitMod(nn.Module):
     demod: bool = True
 
     @nn.compact
-    def __call__(self, x, cond):
+    def __call__(self, x, cond, streaming: bool = False):
         kt, kh, kw = cast_tuple(self.kernel_size, 3)
         assert kh == kw
 
@@ -236,7 +236,7 @@ class ResidualUnitMod(nn.Module):
         x = Conv3DMod(
             dim=self.dim, spatial_kernel=kh, time_kernel=kt, causal=True,
             demod=self.demod, pad_mode=self.pad_mode, name='conv',
-        )(x, c)
+        )(x, c, streaming=streaming)
         x = jax.nn.elu(x)
         x = Conv3d1x1(self.dim, name='conv_out')(x)
         x = jax.nn.elu(x)

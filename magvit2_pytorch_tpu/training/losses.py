@@ -137,17 +137,24 @@ def tokenizer_loss(
     magvit2_pytorch.py:1695-1896). Returns (total, LossBreakdown, recon)."""
     b, frames, channels = video.shape[0], video.shape[1], video.shape[-1]
 
+    rng, rng_drop_enc, rng_drop_dec = jax.random.split(rng, 3)
+    # attention-prob dropout fires only when a 'dropout' rng is threaded in
+    # (reference applies attn_dropout in training, magvit2_pytorch.py:374);
+    # layers are keyed by module path so encoder/decoder masks differ
+    enc_rngs = {'dropout': rng_drop_enc} if train else None
+    dec_rngs = {'dropout': rng_drop_dec} if train else None
+
     latents = module.apply(
         {'params': params}, video, cond=cond,
         video_contains_first_frame=video_contains_first_frame,
-        method=TokenizerModule.encode)
+        method=TokenizerModule.encode, rngs=enc_rngs)
     qout = module.apply(
         {'params': params}, latents, train=train,
         method=TokenizerModule.quantize)
 
     x_dec = module.apply(
         {'params': params}, qout.quantized, cond=cond,
-        method=TokenizerModule.decode_features)
+        method=TokenizerModule.decode_features, rngs=dec_rngs)
     recon = module.apply(
         {'params': params}, x_dec,
         video_contains_first_frame=video_contains_first_frame,

@@ -95,6 +95,7 @@ class VideoTokenizerTrainer:
         tensor_parallel: bool = False,
         seed: int = 0,
         profile_dir: Optional[str] = None,
+        log_every: int = 1,
     ):
         self.model = model
         self.batch_size = batch_size
@@ -105,6 +106,7 @@ class VideoTokenizerTrainer:
         self.validate_every_step = validate_every_step
         self.checkpoint_every_step = checkpoint_every_step
         self.use_wandb_tracking = use_wandb_tracking
+        self.log_every = max(1, log_every)
         self.policy = default(policy, default_policy())
         self.profile_dir = profile_dir
 
@@ -117,6 +119,9 @@ class VideoTokenizerTrainer:
         # datasets (reference trainer.py:115-149)
         dataset_kwargs = dict(default(dataset_kwargs, {}))
         dataset_kwargs['channels'] = model.channels
+        # decode stays uint8 end-to-end; the native batch assembler
+        # (native/batch_ops.cpp) normalizes whole batches at collate
+        dataset_kwargs.setdefault('output_dtype', 'uint8')
         if not exists(dataset):
             if dataset_type == 'videos':
                 dataset_klass = VideoDataset
@@ -187,6 +192,9 @@ class VideoTokenizerTrainer:
             place = lambda tree: shard_params_tensor_parallel(tree, self.mesh)
         else:
             place = lambda tree: replicate(tree, self.mesh)
+        # kept so load() restores with the same placement (a TP run resumed
+        # through replicate() would silently hold full params per device)
+        self._place = place
         self.model.params = place(self.model.params)
         self.ema_params = place(self.ema_params)
         self.opt_state = place(self.opt_state)
@@ -318,7 +326,7 @@ class VideoTokenizerTrainer:
             keys = jax.random.split(rng, accum)
             grads = jax.tree.map(jnp.zeros_like, params)
             loss_sum = 0.0
-            breakdown = None
+            metric_sums = None
             for i in range(accum):
                 (loss, breakdown), g = jax.value_and_grad(
                     micro_loss, has_aux=True)(
@@ -326,22 +334,26 @@ class VideoTokenizerTrainer:
                         batches[i], keys[i])
                 grads = jax.tree.map(jnp.add, grads, g)
                 loss_sum = loss_sum + loss
+                micro = {
+                    'recon_loss': breakdown.recon_loss,
+                    'perceptual_loss': breakdown.perceptual_loss,
+                    'adversarial_gen_loss': breakdown.adversarial_gen_loss,
+                    'adaptive_adversarial_weight':
+                        breakdown.adaptive_adversarial_weight,
+                    'lfq_aux_loss': breakdown.lfq_aux_loss,
+                }
+                metric_sums = micro if metric_sums is None else jax.tree.map(
+                    jnp.add, metric_sums, micro)
             grads = jax.tree.map(lambda g: g / accum, grads)
 
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             new_ema = ema_update(ema_params, new_params, step, ema_config)
 
-            last_breakdown = breakdown
-            metrics = {
-                'total_loss': loss_sum / accum,
-                'recon_loss': last_breakdown.recon_loss,
-                'perceptual_loss': last_breakdown.perceptual_loss,
-                'adversarial_gen_loss': last_breakdown.adversarial_gen_loss,
-                'adaptive_adversarial_weight':
-                    last_breakdown.adaptive_adversarial_weight,
-                'lfq_aux_loss': last_breakdown.lfq_aux_loss,
-            }
+            # average the loss breakdown across micro-batches (reference
+            # trainer.py:365-372 accumulates loss/grad_accum_every per key)
+            metrics = {k: v / accum for k, v in metric_sums.items()}
+            metrics['total_loss'] = loss_sum / accum
             return new_params, new_opt_state, new_ema, metrics
 
         fn = jax.jit(step_fn, donate_argnums=(0, 1, 2))
@@ -375,13 +387,16 @@ class VideoTokenizerTrainer:
             keys = jax.random.split(rng, accum)
             grads = jax.tree.map(jnp.zeros_like, discr_tree)
             loss_sum = 0.0
-            last = None
+            discr_loss_sum = 0.0
+            gp_sum = 0.0
             for i in range(accum):
-                (loss, last), g = jax.value_and_grad(
+                (loss, bd), g = jax.value_and_grad(
                     micro_loss, has_aux=True)(discr_tree, params, batches[i],
                                               keys[i])
                 grads = jax.tree.map(jnp.add, grads, g)
                 loss_sum = loss_sum + loss
+                discr_loss_sum = discr_loss_sum + bd.discr_loss
+                gp_sum = gp_sum + bd.gradient_penalty
             grads = jax.tree.map(lambda g: g / accum, grads)
 
             updates, new_opt_state = optimizer.update(
@@ -389,8 +404,8 @@ class VideoTokenizerTrainer:
             new_tree = optax.apply_updates(discr_tree, updates)
 
             metrics = {
-                'discr_loss': last.discr_loss,
-                'gradient_penalty': last.gradient_penalty,
+                'discr_loss': discr_loss_sum / accum,
+                'gradient_penalty': gp_sum / accum,
                 'total_discr_loss': loss_sum / accum,
             }
             return new_tree, new_opt_state, metrics
@@ -419,15 +434,13 @@ class VideoTokenizerTrainer:
             model.discr_params, tuple(model.multiscale_params),
             model.vgg_params, batches, rng_gen, jnp.asarray(step))
 
-        metrics = {k: float(v) for k, v in metrics.items()}
-        self.log(**metrics)
-        self.print(f"recon loss: {metrics['recon_loss']:.3f}")
-
         if not train_adversarially:
             self.step += 1
-            return metrics
+            return self._emit_metrics(step, metrics)
 
-        # discriminator (reference trainer.py:400-446)
+        # discriminator (reference trainer.py:400-446) — dispatched BEFORE the
+        # generator metrics are pulled to host, so the device→host sync
+        # overlaps the discriminator step instead of serializing dispatch
         apply_gp = not (step % self.apply_gradient_penalty_every)
         batches = self._next_batches(dl_iter)
         discr_fn = self._discr_step_fn(apply_gp)
@@ -436,14 +449,32 @@ class VideoTokenizerTrainer:
             discr_tree, self.discr_opt_state, model.params, batches, rng_discr)
         self._set_discr_tree(discr_tree)
 
-        discr_metrics = {k: float(v) for k, v in discr_metrics.items()}
-        self.log(discr_loss=discr_metrics['discr_loss'])
-        if apply_gp:
-            self.log(gradient_penalty=discr_metrics['gradient_penalty'])
-        self.print(f"discr loss: {discr_metrics['discr_loss']:.3f}")
-
         self.step += 1
-        return {**metrics, **discr_metrics}
+        return self._emit_metrics(step, metrics, discr_metrics, apply_gp)
+
+    def _emit_metrics(self, step, metrics, discr_metrics=None,
+                      apply_gp: bool = False):
+        """Pull metrics to host + log/print, only every ``log_every`` steps —
+        the float() conversion blocks on the device and would otherwise cap
+        async dispatch; off-cadence steps return the raw device arrays."""
+        if step % self.log_every:
+            out = dict(metrics)
+            if exists(discr_metrics):
+                out.update(discr_metrics)
+            return out
+
+        metrics = {k: float(v) for k, v in metrics.items()}
+        self.log(**metrics)
+        self.print(f"recon loss: {metrics['recon_loss']:.3f}")
+
+        if exists(discr_metrics):
+            discr_metrics = {k: float(v) for k, v in discr_metrics.items()}
+            self.log(discr_loss=discr_metrics['discr_loss'])
+            if apply_gp:
+                self.log(gradient_penalty=discr_metrics['gradient_penalty'])
+            self.print(f"discr loss: {discr_metrics['discr_loss']:.3f}")
+            metrics = {**metrics, **discr_metrics}
+        return metrics
 
     def valid_step(self, dl_iter, save_recons: bool = True,
                    num_save_recons: int = 1):
@@ -610,9 +641,9 @@ class VideoTokenizerTrainer:
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(path, self._state())
 
-        self.model.params = replicate(restored['params'], self.mesh)
-        self.ema_params = replicate(restored['ema_params'], self.mesh)
-        self.opt_state = replicate(restored['opt_state'], self.mesh)
+        self.model.params = self._place(restored['params'])
+        self.ema_params = self._place(restored['ema_params'])
+        self.opt_state = self._place(restored['opt_state'])
         self.step = int(restored['step'])
         if self.has_gan and 'discr_tree' in restored:
             self._set_discr_tree(

@@ -130,3 +130,65 @@ def test_streaming_with_gateloop_state_carry():
     codes_full = np.asarray(tok.tokenize(video))
     codes_stream = np.asarray(tokenize_streaming(tok, video, chunk_frames=2))
     np.testing.assert_array_equal(codes_stream, codes_full)
+
+
+def test_streaming_with_cond_layers():
+    """cond_* layers stream: per-stream cond vector, bit-exact vs full pass."""
+    tok = VideoTokenizer(
+        image_size=16,
+        init_dim=8,
+        codebook_size=64,
+        dim_cond=6,
+        layers=(
+            'residual',
+            'cond_residual',
+            ('compress_time', 12),
+        ),
+        use_gan=False,
+        perceptual_loss_weight=0.0,
+        seed=0,
+    )
+    rng = np.random.default_rng(3)
+    video = rng.uniform(size=(2, 9, 16, 16, 3)).astype(np.float32)
+    cond = rng.uniform(size=(2, 6)).astype(np.float32)
+
+    codes_full = np.asarray(tok.tokenize(video, cond=cond))
+    codes_stream = np.asarray(
+        tokenize_streaming(tok, video, chunk_frames=4, cond=cond))
+    np.testing.assert_array_equal(codes_stream, codes_full)
+
+    recon_full = np.asarray(
+        tok.decode_from_code_indices(codes_full, cond=cond))
+    recon_stream = np.asarray(
+        decode_streaming(tok, codes_full, chunk_latents=2, cond=cond))
+    np.testing.assert_allclose(recon_stream, recon_full, atol=1e-5)
+
+
+def test_streaming_rejects_separate_first_frame_at_construction():
+    tok = VideoTokenizer(
+        image_size=16,
+        init_dim=8,
+        codebook_size=64,
+        layers=(('compress_time', 12),),
+        separate_first_frame_encoding=True,
+        use_gan=False,
+        perceptual_loss_weight=0.0,
+        seed=0,
+    )
+    with pytest.raises(AssertionError, match='separate_first_frame'):
+        StreamingSession(tok)
+
+
+def test_streaming_cond_required_at_construction():
+    tok = VideoTokenizer(
+        image_size=16,
+        init_dim=8,
+        codebook_size=64,
+        dim_cond=6,
+        layers=('cond_residual', ('compress_time', 12)),
+        use_gan=False,
+        perceptual_loss_weight=0.0,
+        seed=0,
+    )
+    with pytest.raises(AssertionError, match='cond'):
+        StreamingSession(tok)
