@@ -520,6 +520,30 @@ class VideoTokenizer:
         tokenizer.load(path, strict=strict)
         return tokenizer
 
+    def load_torch_state_dict(self, state_or_path, strict: bool = True):
+        """Import a reference (PyTorch) ``VideoTokenizer`` checkpoint: accepts
+        a state_dict mapping, an ``.npz`` of the same keys, or a ``.pth`` file.
+        Converted end-to-end parity is asserted in tests/test_torch_parity.py
+        against the actual reference implementation."""
+        from magvit2_pytorch_tpu.models.torch_import import (
+            load_torch_tokenizer_state_dict,
+        )
+        state = state_or_path
+        if isinstance(state, (str, Path)):
+            p = str(state)
+            if p.endswith('.npz'):
+                state = dict(np.load(p))
+            else:
+                import torch
+                pkg = torch.load(p, map_location='cpu', weights_only=True)
+                # reference .save() packs {'model': state_dict, 'config', ...}
+                # (magvit2_pytorch.py:1495-1505); accept both layouts
+                state = pkg.get('model', pkg) if isinstance(pkg, dict) else pkg
+        params = load_torch_tokenizer_state_dict(self.config, state,
+                                                 strict=strict)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self._jit_cache = {}
+
     def load_vgg_weights(self, path):
         """Load torchvision vgg16 weights (a .pth state_dict or an .npz of the
         same keys) into the perceptual net."""

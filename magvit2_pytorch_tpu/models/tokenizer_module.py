@@ -101,6 +101,14 @@ class TokenizerConfig:
     # extension (north-star; reference README TODO): axial rotary positions in
     # space/time attention layers
     use_rotary_pos_emb: bool = False
+    # reference quirk #10 (discovered via the CPU oracle,
+    # tests/fixtures/generate.py): the reference APPENDS a final LayerNorm to
+    # encoder_layers (magvit2_pytorch.py:1322-1326) but its encode loop zips
+    # against has_cond_across_layers, which is one element SHORTER — the norm
+    # is never applied (zip truncation, magvit2_pytorch.py:1565-1572). Default
+    # False mirrors the reference (required for code-index parity and torch
+    # checkpoint import); True opts into the evidently-intended behavior.
+    apply_final_norm: bool = False
     # rematerialize each encoder/decoder layer in the backward pass — trades
     # one extra forward of FLOPs for O(depth) less activation HBM (the 128px
     # README config cannot train in one v5e chip's 16G without it)
@@ -381,7 +389,13 @@ class TokenizerModule(nn.Module):
                 kwargs['streaming'] = True
             x = self._apply_layer(layer, x, remat=self.config.remat, **kwargs)
 
-        return self.final_norm(x)
+        if cfg.apply_final_norm:
+            return self.final_norm(x)
+        # reference parity: the final norm's params exist (checkpoints carry
+        # them) but the reference never applies it — see config docstring.
+        # Touch the params so flax registers them regardless.
+        _ = (self.final_norm.gamma, self.final_norm.beta)
+        return x
 
     def quantize(self, x, train: bool = False):
         return self.quantizers(x, train=train)
@@ -448,6 +462,39 @@ class TokenizerModule(nn.Module):
             qout.quantized, cond=cond,
             video_contains_first_frame=video_contains_first_frame)
         return recon, qout
+
+    # -- introspection helpers (FLOP audit, parity bisecting) ----------------
+
+    def apply_encoder_layer(self, x, index: int, cond=None):
+        """Apply the single encoder layer for layer-spec ``index``."""
+        kwargs = dict(cond=cond) if exists(cond) else {}
+        return self._apply_layer(self.encoder_layers[index], x, **kwargs)
+
+    def apply_decoder_layer(self, x, index: int, cond=None):
+        """Apply the single decoder layer for layer-spec ``index`` (stored
+        reversed, reference insert(0) semantics)."""
+        pos = len(self.decoder_layers) - 1 - index
+        kwargs = dict(cond=cond) if exists(cond) else {}
+        return self._apply_layer(self.decoder_layers[pos], x, **kwargs)
+
+    def trace_shapes(self, video):
+        """Static (enc_in_shape, dec_in_shape) per layer spec for the padded
+        round trip — drives tools/flop_audit.py."""
+        tp = self.time_padding
+        x = jnp.pad(video, [(0, 0), (tp, 0), (0, 0), (0, 0), (0, 0)])
+        x = self.conv_in(x)
+        enc_shapes = {}
+        for i, layer in enumerate(self.encoder_layers):
+            enc_shapes[i] = tuple(x.shape)
+            x = self._apply_layer(layer, x)
+        x = self.final_norm(x)
+        n = len(self.decoder_layers)
+        dec_shapes = {}
+        for pos, layer in enumerate(self.decoder_layers):
+            i = n - 1 - pos
+            dec_shapes[i] = tuple(x.shape)
+            x = self._apply_layer(layer, x)
+        return [(enc_shapes[i], dec_shapes[i]) for i in range(n)]
 
     @staticmethod
     def _apply_layer(layer, x, remat: bool = False, **kwargs):

@@ -87,10 +87,16 @@ class LayerNorm(nn.Module):
     dim: int
     eps: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        # setup-based (not compact) so the tokenizer can register these params
+        # without applying the norm — the reference appends this norm but never
+        # runs it (quirk #10, see TokenizerConfig.apply_final_norm), yet its
+        # checkpoints still carry the weights
+        self.gamma = self.param('gamma', nn.initializers.ones, (self.dim,))
+        self.beta = self.param('beta', nn.initializers.zeros, (self.dim,))
+
     def __call__(self, x):
-        gamma = self.param('gamma', nn.initializers.ones, (self.dim,))
-        beta = self.param('beta', nn.initializers.zeros, (self.dim,))
+        gamma, beta = self.gamma, self.beta
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.var(x32, axis=-1, keepdims=True)

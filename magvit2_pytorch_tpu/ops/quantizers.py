@@ -201,6 +201,25 @@ class LFQ(nn.Module):
         codebook_ent = binary_entropy(mean_p).sum(axis=-1).mean()
         return per_sample, codebook_ent
 
+    def sign_values(self, x):
+        """Pre-sign values z (b, *spatial, c, d): the quantities whose signs
+        become the code bits. |z| is the bit's decision margin — used by the
+        cross-framework parity tests, where floating-point reduction-order
+        noise may flip bits only within a tiny margin of the boundary."""
+        needs_proj = self.dim != self.codebook_dims
+        if needs_proj:
+            x = self.project_in(x)
+        seq, restore, _ = _pack_spatial(x)
+        b, n, _ = seq.shape
+        z = seq.reshape(b, n, self.num_codebooks, self.codebook_dim)
+        z = z.astype(jnp.float32)
+        if self.spherical:
+            z = l2norm(z)
+        if exists(self.soft_clamp_input_value):
+            v = self.soft_clamp_input_value
+            z = jnp.tanh(z / v) * v
+        return restore(z)
+
     def full_codebook(self):
         """All 2^d sign patterns, MSB-first: row k has bit (d-1-j) of k at
         position j mapped to ±1. Row k == indices_to_bits(k)."""
@@ -320,6 +339,18 @@ class FSQ(nn.Module):
 
         zero = jnp.zeros((), jnp.float32)
         return QuantizerOutput(out, idx, zero, None)
+
+    def bounded_values(self, x):
+        """Pre-round bounded values (b, *spatial, c, d); the distance of each
+        to the nearest half-integer is the digit's decision margin (see
+        LFQ.sign_values)."""
+        dim = default(self.dim, self.codebook_dims)
+        if dim != self.codebook_dims:
+            x = self.project_in(x)
+        seq, restore, _ = _pack_spatial(x)
+        b, n, _ = seq.shape
+        z = seq.reshape(b, n, self.num_codebooks, self.codebook_dim)
+        return restore(self._bound(z.astype(jnp.float32)))
 
     def indices_to_codes(self, indices):
         if not self._keep_cb_dim:
