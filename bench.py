@@ -24,7 +24,7 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--batch', type=int, default=32)
+    parser.add_argument('--batch', type=int, default=128)
     parser.add_argument('--frames', type=int, default=17)
     parser.add_argument('--image-size', type=int, default=128)
     parser.add_argument('--n-short', type=int, default=2)

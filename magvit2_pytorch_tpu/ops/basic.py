@@ -42,6 +42,15 @@ def leaky_relu(x, negative_slope: float = 0.1):
     return jax.nn.leaky_relu(x, negative_slope=negative_slope)
 
 
+def elu(x):
+    """Select-free ELU: ``max(x,0) + expm1(min(x,0))`` — identical to
+    ``where(x>0, x, expm1(x))`` for every input, but with no predicate.
+    jax.nn.elu's select form made XLA bit-pack the shared ``x>0`` mask over
+    the time axis into u32 words and re-expand it in every consumer fusion
+    (~27 ms/iter of the flagship roundtrip on v5e, pure overhead)."""
+    return jnp.maximum(x, 0) + jnp.expm1(jnp.minimum(x, 0))
+
+
 class GEGLU(nn.Module):
     """Split trailing channels in half; ``gelu(gate) * x``
     (reference magvit2_pytorch.py:466-469, which splits on the channel dim)."""

@@ -109,6 +109,24 @@ class CausalConv3d(nn.Module):
             x = jnp.concatenate([cache.value.astype(dtype), x], axis=1)
             cache.value = x[:, -time_pad:]
             padding = [(0, 0), (hp, hp), (wp, wp)]
+        elif (not streaming and kt > 1 and self.stride == 1
+                and self.dilation == 1 and c_in * kt <= 32):
+            # tiny-C_in stem (conv_in: C=3): the MXU contracts over input
+            # channels, so a 3-channel conv runs at ~10% utilization. Unfold
+            # the kt time taps into channels (kt*C_in contraction) — on the
+            # flagship config this cut conv_in from 54 ms to the memory
+            # roofline ballpark. The unfolded copy costs kt x the (small)
+            # input's bandwidth, repaid many times over in MXU occupancy.
+            pad_mode = self.pad_mode if time_pad < x.shape[1] else 'constant'
+            x = _maybe_explicit_pad(
+                x, [(time_pad, 0), (0, 0), (0, 0)],
+                pad_mode if pad_mode != 'zeros' else 'constant')
+            t_out = x.shape[1] - (kt - 1)
+            x = jnp.concatenate(
+                [x[:, i:i + t_out] for i in range(kt)], axis=-1)
+            kernel = kernel.transpose(1, 2, 0, 3, 4).reshape(
+                1, kh, kw, kt * c_in, self.features)
+            padding = [(0, 0), (hp, hp), (wp, wp)]
         else:
             # reference falls back to zero padding when the clip is shorter
             # than the causal pad (magvit2_pytorch.py:925)
@@ -120,6 +138,16 @@ class CausalConv3d(nn.Module):
                     x, [(time_pad, 0), (hp, hp), (wp, wp)], pad_mode)
                 padding = [(0, 0)] * 3
 
+        # tiny-C_out head (conv_out: C=3): XLA lowers 3-lane-output convs as a
+        # slow kLoop fusion (~30 ms on the flagship roundtrip); zero-padding
+        # the output channels to a sublane multiple flips it onto the MXU
+        # conv path, then a cheap slice drops the dead lanes
+        out_pad = 0
+        if self.features < 8 and kernel.shape[-2] >= 8:
+            out_pad = 8 - self.features
+            kernel = jnp.pad(
+                kernel, [(0, 0)] * (kernel.ndim - 1) + [(0, out_pad)])
+
         out = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(self.stride, 1, 1),
@@ -127,6 +155,8 @@ class CausalConv3d(nn.Module):
             rhs_dilation=(self.dilation, 1, 1),
             dimension_numbers=DN_3D,
         )
+        if out_pad:
+            out = out[..., :self.features]
         if bias is not None:
             out = out + bias.astype(dtype)
         return out
@@ -148,8 +178,9 @@ class Conv3d1x1(nn.Module):
         c_in = x.shape[-1]
         kernel = self.param('kernel', torch_kernel_init, (c_in, self.features))
         dtype = default(self.dtype, x.dtype)
+        x = x.astype(dtype)
         out = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype).reshape(1, 1, 1, c_in, self.features),
+            x, kernel.astype(dtype).reshape(1, 1, 1, c_in, self.features),
             window_strides=(1, 1, 1),
             padding=[(0, 0)] * 3,
             dimension_numbers=DN_3D,

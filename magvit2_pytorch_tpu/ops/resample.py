@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from magvit2_pytorch_tpu.ops.basic import Linear, Residual, SqueezeExcite
+from magvit2_pytorch_tpu.ops.basic import Linear, Residual, SqueezeExcite, elu
 from magvit2_pytorch_tpu.ops.conv import (
     DN_3D,
     CausalConv3d,
@@ -204,9 +204,9 @@ class _ResidualUnitInner(nn.Module):
     def __call__(self, x, streaming: bool = False):
         x = CausalConv3d(self.dim, self.kernel_size, pad_mode=self.pad_mode,
                          name='conv')(x, streaming=streaming)
-        x = jax.nn.elu(x)
+        x = elu(x)
         x = Conv3d1x1(self.dim, name='conv_pointwise')(x)
-        x = jax.nn.elu(x)
+        x = elu(x)
         return SqueezeExcite(self.dim, name='se')(x)
 
 
@@ -237,7 +237,7 @@ class ResidualUnitMod(nn.Module):
             dim=self.dim, spatial_kernel=kh, time_kernel=kt, causal=True,
             demod=self.demod, pad_mode=self.pad_mode, name='conv',
         )(x, c, streaming=streaming)
-        x = jax.nn.elu(x)
+        x = elu(x)
         x = Conv3d1x1(self.dim, name='conv_out')(x)
-        x = jax.nn.elu(x)
+        x = elu(x)
         return x + res
