@@ -179,21 +179,36 @@ def collate_arrays_and_strings(items):
 
 
 class DataLoader:
-    """Shuffled, batched, background-prefetched loader."""
+    """Shuffled, batched, background-prefetched loader.
+
+    Multi-host sharding (torch DistributedSampler equivalent): with
+    ``num_shards > 1`` every process draws the SAME seeded shuffle order,
+    slices each global batch of ``batch_size`` into ``num_shards`` contiguous
+    chunks, and yields only chunk ``shard_id`` — so each process decodes
+    ``batch_size // num_shards`` samples and the union across processes is
+    exactly the global batch the single-host loader would have produced.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
-                 prefetch: int = 2, collate_fn=collate_arrays_and_strings):
+                 prefetch: int = 2, collate_fn=collate_arrays_and_strings,
+                 num_shards: int = 1, shard_id: int = 0):
         assert len(dataset) > 0, 'dataset is empty'
         assert not (drop_last and len(dataset) < batch_size), (
             f'dataset has {len(dataset)} samples — fewer than batch_size '
             f'{batch_size} with drop_last: every epoch would be empty')
+        assert 0 <= shard_id < num_shards
+        assert batch_size % num_shards == 0, (
+            f'batch_size {batch_size} must divide evenly over {num_shards} '
+            f'shards')
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.collate_fn = collate_fn
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -212,6 +227,11 @@ class DataLoader:
             idx = order[start:start + bs]
             if len(idx) == 0:
                 continue
+            if self.num_shards > 1:
+                per = len(idx) // self.num_shards
+                idx = idx[self.shard_id * per:(self.shard_id + 1) * per]
+                if len(idx) == 0:
+                    continue
             yield self.collate_fn([self.dataset[int(i)] for i in idx])
 
     def __iter__(self):

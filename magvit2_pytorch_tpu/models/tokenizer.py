@@ -88,6 +88,7 @@ class VideoTokenizer:
                         and cfg.perceptual_loss_weight > 0)
         self.vgg = None
         self.vgg_params = None
+        self.vgg_pretrained = False
         if self.use_vgg:
             self.vgg = VGG16Features()
             dummy_img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3),
@@ -95,6 +96,20 @@ class VideoTokenizer:
             self.vgg_params = jax.jit(self.vgg.init)(k_vgg, dummy_img)
             if exists(cfg.vgg_weights):
                 self.load_vgg_weights(cfg.vgg_weights)
+            else:
+                # the reference ALWAYS uses torchvision-pretrained VGG16
+                # (magvit2_pytorch.py:1399-1403); random features change the
+                # training dynamics materially — refuse to be silent about it
+                import warnings
+                warnings.warn(
+                    'perceptual loss is enabled but no pretrained VGG16 '
+                    'weights were given — the perceptual net is RANDOMLY '
+                    'initialized (unlike the reference, which always uses '
+                    'torchvision-pretrained VGG16). Convert weights once '
+                    'with tools/fetch_vgg16_weights.py and pass '
+                    "vgg_weights='vgg16.npz' (or set "
+                    'perceptual_loss_weight=0 to silence this).',
+                    stacklevel=2)
 
         # gan / discriminators
         self.use_gan = cfg.use_gan
@@ -554,6 +569,7 @@ class VideoTokenizer:
             import torch
             state = torch.load(path, map_location='cpu', weights_only=True)
         self.vgg_params = load_torch_vgg16_state_dict(state)
+        self.vgg_pretrained = True
 
 
 class MagViT2:

@@ -57,6 +57,13 @@ from magvit2_pytorch_tpu.ops.resample import (
 from magvit2_pytorch_tpu.utils.helpers import default, exists
 
 
+def _conv_dot_saveable_policy(prim, *_, **__):
+    """jax.checkpoint policy for remat='dots': keep every MXU result (convs
+    AND matmuls — the built-in dots_saveable misses convs, and this model is
+    conv-dominated) and recompute only the cheap VPU elementwise/norm ops."""
+    return prim.name in ('conv_general_dilated', 'dot_general')
+
+
 @dataclasses.dataclass(frozen=True)
 class TokenizerConfig:
     """JSON-serializable constructor config (replaces the reference's pickled
@@ -111,8 +118,12 @@ class TokenizerConfig:
     apply_final_norm: bool = False
     # rematerialize each encoder/decoder layer in the backward pass — trades
     # one extra forward of FLOPs for O(depth) less activation HBM (the 128px
-    # README config cannot train in one v5e chip's 16G without it)
-    remat: bool = False
+    # README config cannot train in one v5e chip's 16G without it).
+    # False = save all activations; True/'full' = save only layer boundaries;
+    # 'dots' = selective: save MXU (conv/matmul) outputs inside each layer and
+    # recompute only the cheap elementwise/norm ops — most of the memory win
+    # at a fraction of the recompute FLOPs
+    remat: object = False
 
     def __post_init__(self):
         # normalize layer defs to tuples for hashability / JSON round-trip
@@ -497,18 +508,25 @@ class TokenizerModule(nn.Module):
         return [(enc_shapes[i], dec_shapes[i]) for i in range(n)]
 
     @staticmethod
-    def _apply_layer(layer, x, remat: bool = False, **kwargs):
+    def _apply_layer(layer, x, remat=False, **kwargs):
         # the reference tracks conditioning as a *running* flag, so layers
         # after the first cond layer are handed `cond` whether or not they use
         # it (magvit2_pytorch.py:1565-1572) — filter by acceptance, per key
         from magvit2_pytorch_tpu.ops.basic import _filter_kwargs
         kwargs = _filter_kwargs(layer, kwargs)
         if remat and 'streaming' not in kwargs:
+            # remat=True/'full': save only layer boundaries (max memory win,
+            # one full recompute). remat='dots': jax.checkpoint policy that
+            # saves conv/matmul outputs and recomputes only elementwise ops.
+            policy = None
+            if remat == 'dots':
+                policy = _conv_dot_saveable_policy
             if 'cond' in kwargs:
                 fn = nn.remat(lambda mdl, x, cond: mdl(x, cond=cond),
-                              prevent_cse=False)
+                              prevent_cse=False, policy=policy)
                 return fn(layer, x, kwargs['cond'])
-            fn = nn.remat(lambda mdl, x: mdl(x), prevent_cse=False)
+            fn = nn.remat(lambda mdl, x: mdl(x), prevent_cse=False,
+                          policy=policy)
             return fn(layer, x)
         if not kwargs:
             return layer(x)

@@ -61,6 +61,8 @@ def attend(
     scale: Optional[float] = None,
     backend: Optional[str] = None,
     layout: str = 'bhnd',
+    attn_bias=None,
+    prev_attn=None,
 ):
     """Scaled-dot-product attention.
 
@@ -69,6 +71,11 @@ def attend(
     layout; avoids whole-tensor head transposes (which profiled as pure
     layout copies on v5e).
     mask: (b, h, n, m) bool (True=keep). Softmax accumulates in fp32.
+    attn_bias: additive pre-softmax bias, (h, n, m) or (b, h, n, m) — the
+    alibi-style hook of reference attend.py:149-167,218-221.
+    prev_attn: residual pre-softmax logits (b, h, n, m), added before the
+    bias (reference attend.py:214-218); incompatible with flash, like the
+    reference's assert (attend.py:211).
     """
     assert layout in ('bhnd', 'bnhd')
     backend = default(backend, _DEFAULT_BACKEND)
@@ -81,7 +88,12 @@ def attend(
     if backend == 'auto':
         backend = 'flash' if (
             _on_tpu() and _flash_friendly_nm(n, m, q.shape[-1])
-            and not exists(mask)) else 'xla'
+            and not exists(mask) and not exists(attn_bias)
+            and not exists(prev_attn)) else 'xla'
+    assert not (backend == 'flash' and exists(prev_attn)), (
+        'residual attention not compatible with flash attention')
+    if exists(attn_bias) or exists(prev_attn):
+        backend = 'xla'
 
     if backend == 'flash' and not exists(mask):
         from magvit2_pytorch_tpu.ops.pallas.flash_attention import flash_attention
@@ -93,17 +105,31 @@ def attend(
         return out
 
     if layout == 'bnhd':
-        return _attend_xla_bnhd(q, k, v, causal=causal, mask=mask, scale=scale)
-    return _attend_xla(q, k, v, causal=causal, mask=mask, scale=scale)
+        return _attend_xla_bnhd(q, k, v, causal=causal, mask=mask, scale=scale,
+                                attn_bias=attn_bias, prev_attn=prev_attn)
+    return _attend_xla(q, k, v, causal=causal, mask=mask, scale=scale,
+                       attn_bias=attn_bias, prev_attn=prev_attn)
 
 
-def _attend_xla(q, k, v, causal, mask, scale):
+def _apply_bias(dots, attn_bias, prev_attn):
+    """Reference ordering (attend.py:214-221): prev_attn first, then bias."""
+    if exists(prev_attn):
+        dots = dots + prev_attn.astype(dots.dtype)
+    if exists(attn_bias):
+        if attn_bias.ndim == 3:
+            attn_bias = attn_bias[None]
+        dots = dots + attn_bias.astype(dots.dtype)
+    return dots
+
+
+def _attend_xla(q, k, v, causal, mask, scale, attn_bias=None, prev_attn=None):
     d = q.shape[-1]
     n, m = q.shape[-2], k.shape[-2]
     scale = default(scale, d ** -0.5)
 
     dots = jnp.einsum('bhid,bhjd->bhij', q, k,
                       preferred_element_type=jnp.float32) * scale
+    dots = _apply_bias(dots, attn_bias, prev_attn)
 
     mask_value = jnp.finfo(jnp.float32).min
 
@@ -165,7 +191,8 @@ def attend_with_memory(q, k, v, mem_k, mem_v, causal: bool = False,
     return out.astype(q.dtype)
 
 
-def _attend_xla_bnhd(q, k, v, causal, mask, scale):
+def _attend_xla_bnhd(q, k, v, causal, mask, scale, attn_bias=None,
+                     prev_attn=None):
     """Same math as _attend_xla with heads kept in-place: q (b,n,h,d),
     k/v (b,m,h,d) -> out (b,n,h,d). No input/output transposes — the head
     axis rides along as an einsum batch dim."""
@@ -175,6 +202,7 @@ def _attend_xla_bnhd(q, k, v, causal, mask, scale):
 
     dots = jnp.einsum('bihd,bjhd->bhij', q, k,
                       preferred_element_type=jnp.float32) * scale
+    dots = _apply_bias(dots, attn_bias, prev_attn)
 
     mask_value = jnp.finfo(jnp.float32).min
 

@@ -8,10 +8,14 @@ gradients come out of ``jax.grad`` already averaged via an XLA-inserted
 micro-batching needs no communication suppression because the collective only
 materializes where XLA schedules it (after the scan).
 
-Multi-slice: pass ``dcn_axis`` to split data-parallelism across slices over
-DCN while keeping model axes inside a slice. For reference parity only the
-data axis is required (the reference has DP only); the mesh helpers accept
-extra model axes (``tensor``) for the scale-out path.
+Multi-slice / multi-host: pass ``dcn`` to :func:`make_mesh` to add a leading
+``'dcn'`` mesh axis that splits data-parallelism across slices (or hosts) over
+DCN while the ``'data'``/``'tensor'`` axes stay inside a slice on ICI. Batch
+sharding then spans ``('dcn', 'data')`` so gradient psums decompose into a
+cheap intra-slice ICI reduce plus one small cross-slice DCN reduce — XLA
+derives that decomposition from the mesh axis order. Process bring-up lives in
+:mod:`magvit2_pytorch_tpu.parallel.distributed`. For reference parity only the
+data axis is required (the reference has DP only).
 """
 
 from __future__ import annotations
@@ -26,25 +30,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     data: Optional[int] = None,
     tensor: int = 1,
+    dcn: int = 1,
     *,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """1- or 2-axis mesh ('data'[, 'tensor']) over the available devices.
-    Defaults to pure data parallelism over every device."""
+    """('data', 'tensor') mesh, or ('dcn', 'data', 'tensor') when ``dcn > 1``,
+    over the available devices. Defaults to pure data parallelism.
+
+    ``jax.devices()`` orders devices process-major, so reshaping with ``dcn``
+    slowest puts each slice/host in its own 'dcn' row: 'data'/'tensor'
+    collectives ride ICI inside a slice, only the 'dcn' reduction crosses DCN.
+    ``dcn`` therefore should equal the slice (or process) count."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // tensor
-    assert data * tensor == n, (
-        f'mesh {data}x{tensor} does not cover {n} devices')
+        data = n // (tensor * dcn)
+    assert data * tensor * dcn == n, (
+        f'mesh {dcn}x{data}x{tensor} does not cover {n} devices')
+    if dcn > 1:
+        arr = np.asarray(devices).reshape(dcn, data, tensor)
+        return Mesh(arr, axis_names=('dcn', 'data', 'tensor'))
     arr = np.asarray(devices).reshape(data, tensor)
     return Mesh(arr, axis_names=('data', 'tensor'))
 
 
+def batch_axes(mesh: Mesh):
+    """Mesh axes the batch dim is sharded over (dcn-first when present)."""
+    return tuple(a for a in ('dcn', 'data') if a in mesh.axis_names)
+
+
+def data_parallel_extent(mesh: Mesh) -> int:
+    """Total number of ways the batch is split (product over batch axes)."""
+    n = 1
+    for a in batch_axes(mesh):
+        n *= mesh.shape[a]
+    return n
+
+
 def data_sharding(mesh: Mesh, *, leading_none: int = 0) -> NamedSharding:
-    """Shard the batch axis over 'data' (optionally after ``leading_none``
-    unsharded leading axes, e.g. a grad-accum axis)."""
-    spec = P(*([None] * leading_none), 'data')
+    """Shard the batch axis over ('dcn','data') — or just 'data' on a
+    single-slice mesh — optionally after ``leading_none`` unsharded leading
+    axes, e.g. a grad-accum axis."""
+    spec = P(*([None] * leading_none), batch_axes(mesh))
     return NamedSharding(mesh, spec)
 
 

@@ -45,10 +45,12 @@ from magvit2_pytorch_tpu.data.datasets import (
 from magvit2_pytorch_tpu.data.video_io import video_array_to_gif
 from magvit2_pytorch_tpu.models.tokenizer import VideoTokenizer
 from magvit2_pytorch_tpu.parallel.mesh import (
+    data_parallel_extent,
     data_sharding,
     is_main_process,
     make_mesh,
     replicate,
+    replicated_sharding,
 )
 from magvit2_pytorch_tpu.training.ema import EMAConfig, ema_update
 from magvit2_pytorch_tpu.training.losses import (
@@ -111,10 +113,15 @@ class VideoTokenizerTrainer:
         self.profile_dir = profile_dir
 
         self.mesh = default(mesh, make_mesh())
-        n_data = self.mesh.shape['data']
+        n_data = data_parallel_extent(self.mesh)
         assert batch_size % n_data == 0, (
-            f'batch_size {batch_size} must divide the data-parallel axis '
+            f'batch_size {batch_size} must divide the data-parallel extent '
             f'{n_data}')
+        # multi-host: batch_size is GLOBAL; each process decodes its shard
+        self._n_proc = jax.process_count()
+        assert batch_size % self._n_proc == 0, (
+            f'global batch_size {batch_size} must divide the process count '
+            f'{self._n_proc}')
 
         # datasets (reference trainer.py:115-149)
         dataset_kwargs = dict(default(dataset_kwargs, {}))
@@ -151,12 +158,17 @@ class VideoTokenizerTrainer:
 
         self.dataset = dataset
         self.valid_dataset = valid_dataset
+        shard_kwargs = dict(num_shards=self._n_proc,
+                            shard_id=jax.process_index())
         self.dataloader = DataLoader(
-            dataset, batch_size=batch_size, shuffle=True, drop_last=True)
-        # validation runs un-sharded on the host path; tolerate small splits
+            dataset, batch_size=batch_size, shuffle=True, drop_last=True,
+            **shard_kwargs)
+        # validation tolerates small splits; batch stays process-divisible
+        vbs = min(batch_size, len(valid_dataset))
+        vbs = max(self._n_proc, vbs - vbs % self._n_proc)
         self.valid_dataloader = DataLoader(
-            valid_dataset, batch_size=min(batch_size, len(valid_dataset)),
-            shuffle=True, drop_last=True)
+            valid_dataset, batch_size=vbs, shuffle=True, drop_last=True,
+            **shard_kwargs)
 
         # optimizers (reference trainer.py:154-171; warmup folded into the
         # optax schedule, clip folded into the chain)
@@ -266,17 +278,51 @@ class VideoTokenizerTrainer:
     def tokenize(self, *args, **kwargs):
         return self.ema_tokenizer.tokenize(*args, **kwargs)
 
+    def _put_global(self, local: np.ndarray, *, leading_none: int = 0):
+        """Place a host batch over the mesh's batch axes. Single-process:
+        plain sharded device_put. Multi-process: every process holds only its
+        shard of the batch axis (the sharded DataLoader guarantees process p
+        decoded contiguous chunk p), assembled into one global array."""
+        b = local.shape[leading_none]
+        if b % data_parallel_extent(self.mesh):
+            # small validation splits can't shard evenly; run them unsharded
+            # (single-host only — the train path asserts divisibility upfront)
+            assert self._n_proc == 1, (
+                f'batch of {b} does not divide the data-parallel extent '
+                f'{data_parallel_extent(self.mesh)} on a multi-process mesh')
+            return jnp.asarray(local)
+        sharding = data_sharding(self.mesh, leading_none=leading_none)
+        if self._n_proc == 1:
+            return jax.device_put(local, sharding)
+        b_axis = leading_none
+        global_shape = (local.shape[:b_axis]
+                        + (local.shape[b_axis] * self._n_proc,)
+                        + local.shape[b_axis + 1:])
+        return jax.make_array_from_process_local_data(
+            sharding, local, global_shape)
+
+    def _fetch_full(self, arr) -> np.ndarray:
+        """Device array -> full host value on EVERY process (resharding to
+        replicated is the multi-host-safe inverse of :meth:`_put_global`)."""
+        if self._n_proc > 1:
+            if '_replicate' not in self._jit_cache:
+                self._jit_cache['_replicate'] = jax.jit(
+                    lambda x: x,
+                    out_shardings=replicated_sharding(self.mesh))
+            arr = self._jit_cache['_replicate'](arr)
+        return np.asarray(arr)
+
     def _next_batches(self, dl_iter):
-        """Pull grad_accum_every batches, stack to (A, B, ...), shard batch
-        axis over the mesh."""
+        """Pull grad_accum_every (process-local) batches, stack to
+        (A, B_local, ...), assemble the global (A, B, ...) array sharded over
+        the mesh's batch axes."""
         batches = []
         for _ in range(self.grad_accum_every):
             data, *_ = next(dl_iter)
             arr = np.asarray(data, dtype=np.float32)
             batches.append(arr)
         stacked = np.stack(batches)
-        return jax.device_put(
-            stacked, data_sharding(self.mesh, leading_none=1))
+        return self._put_global(stacked, leading_none=1)
 
     # -- jitted steps --------------------------------------------------------
 
@@ -479,7 +525,9 @@ class VideoTokenizerTrainer:
     def valid_step(self, dl_iter, save_recons: bool = True,
                    num_save_recons: int = 1):
         """Validation recon loss for online + EMA model, side-by-side GIF grid
-        (reference trainer.py:452-510)."""
+        (reference trainer.py:452-510). Runs on EVERY process — the jitted
+        forward over globally-sharded batches is an SPMD program all processes
+        must enter; only the GIF write is main-process-gated."""
         model = self.model
         ema_model = self.ema_tokenizer
 
@@ -489,8 +537,9 @@ class VideoTokenizerTrainer:
         recon_videos = []
 
         for _ in range(self.grad_accum_every):
-            valid_video, *_ = next(dl_iter)
-            valid_video = jnp.asarray(valid_video, jnp.float32)
+            local_video, *_ = next(dl_iter)
+            valid_video = self._put_global(
+                np.asarray(local_video, np.float32))
 
             loss, _ = model.forward(valid_video, return_recon_loss_only=True)
             ema_loss, ema_recon = ema_model.forward(
@@ -499,6 +548,8 @@ class VideoTokenizerTrainer:
             recon_loss += float(loss) / self.grad_accum_every
             ema_recon_loss += float(ema_loss) / self.grad_accum_every
 
+            valid_video = self._fetch_full(valid_video)
+            ema_recon = self._fetch_full(ema_recon)
             if valid_video.ndim == 4:
                 valid_video = valid_video[:, None]
                 ema_recon = ema_recon[:, None] if ema_recon.ndim == 4 else ema_recon
@@ -527,7 +578,7 @@ class VideoTokenizerTrainer:
         self.print(f'validation PSNR {valid_psnr:.2f} dB | codebook '
                    f'utilization {utilization:.3f}')
 
-        if not save_recons:
+        if not save_recons or not self.is_main:
             return recon_loss, ema_recon_loss
 
         valid_videos = np.concatenate(valid_videos)[:num_save_recons]
@@ -570,8 +621,10 @@ class VideoTokenizerTrainer:
 
         while self.step < self.num_train_steps:
             if stop_requested['flag']:
-                if self.is_main:
-                    self.save(self.checkpoints_folder / 'checkpoint.preempt')
+                # save/valid run on ALL processes: Orbax coordinates the
+                # multi-host write and the jitted valid forward is SPMD — a
+                # rank-0-only call on globally-sharded state would deadlock
+                self.save(self.checkpoints_folder / 'checkpoint.preempt')
                 break
             step = self.step
             self.print(f'step {step}')
@@ -587,10 +640,10 @@ class VideoTokenizerTrainer:
             if exists(self.profile_dir) and step == 4:
                 jax.profiler.stop_trace()
 
-            if self.is_main and not (step % self.validate_every_step):
+            if not (step % self.validate_every_step):
                 self.valid_step(valid_dl_iter)
 
-            if self.is_main and not (step % self.checkpoint_every_step):
+            if not (step % self.checkpoint_every_step):
                 checkpoint_num = step // self.checkpoint_every_step
                 self.save(
                     self.checkpoints_folder / f'checkpoint.{checkpoint_num}')

@@ -175,3 +175,49 @@ def test_attention_dropout_gated_by_rng():
     oa = np.asarray(mod.apply(params, x, rngs={'dropout': jax.random.PRNGKey(1)}))
     ob = np.asarray(mod.apply(params, x, rngs={'dropout': jax.random.PRNGKey(2)}))
     assert np.abs(oa - ob).max() > 1e-6
+
+
+def test_attend_bias_and_prev_attn_paths():
+    """attn_bias / prev_attn parity (reference attend.py:149-167,214-224):
+    logits = qk*scale + prev_attn + attn_bias, then mask/causal/softmax."""
+    import numpy as np
+    import torch
+
+    from magvit2_pytorch_tpu.ops.attend import attend
+
+    rng = np.random.default_rng(0)
+    b, h, n, d = 2, 3, 8, 16
+    q = rng.normal(size=(b, h, n, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, n, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, n, d)).astype(np.float32)
+    bias = rng.normal(size=(h, n, n)).astype(np.float32)
+    prev = rng.normal(size=(b, h, n, n)).astype(np.float32)
+
+    for causal in (False, True):
+        ours = np.asarray(attend(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            causal=causal, attn_bias=jnp.asarray(bias),
+            prev_attn=jnp.asarray(prev)))
+
+        dots = torch.einsum(
+            'bhid,bhjd->bhij', torch.tensor(q), torch.tensor(k)) * d ** -0.5
+        dots = dots + torch.tensor(prev) + torch.tensor(bias)[None]
+        if causal:
+            mask = torch.ones(n, n, dtype=torch.bool).triu(1)
+            dots = dots.masked_fill(mask, -torch.finfo(torch.float32).max)
+        ref = torch.einsum('bhij,bhjd->bhid', dots.softmax(-1),
+                           torch.tensor(v)).numpy()
+        np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+    # bnhd layout agrees with bhnd
+    ours_bnhd = np.asarray(attend(
+        jnp.asarray(q.transpose(0, 2, 1, 3)),
+        jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)),
+        causal=True, layout='bnhd', attn_bias=jnp.asarray(bias),
+        prev_attn=jnp.asarray(prev))).transpose(0, 2, 1, 3)
+    ours_bhnd = np.asarray(attend(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=True, attn_bias=jnp.asarray(bias),
+        prev_attn=jnp.asarray(prev)))
+    np.testing.assert_allclose(ours_bnhd, ours_bhnd, atol=1e-5, rtol=1e-5)

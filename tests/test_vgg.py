@@ -73,3 +73,41 @@ def test_vgg_conversion_matches_torch_forward():
 
     assert ours.shape == (2, 4096)
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_random_vgg_warns_and_npz_weights_load(tmp_path):
+    """Tokenizer must warn loudly when the perceptual net is random-init
+    (VERDICT round-1 item 3) and load the tools/fetch_vgg16_weights.py .npz
+    artifact (torchvision key names) silently."""
+    import warnings
+
+    import pytest
+
+    from magvit2_pytorch_tpu.models import VideoTokenizer
+
+    kwargs = dict(
+        image_size=32,
+        init_dim=8,
+        codebook_size=64,
+        layers=('residual',),
+        use_gan=False,
+        perceptual_loss_weight=1.0,
+        seed=0,
+    )
+
+    with pytest.warns(UserWarning, match='RANDOM'):
+        tok = VideoTokenizer(**kwargs)
+    assert tok.use_vgg and not tok.vgg_pretrained
+
+    state = _synthetic_torch_vgg16_state_dict()
+    npz_path = tmp_path / 'vgg16.npz'
+    np.savez(npz_path, **state)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')  # no warning when weights are given
+        tok = VideoTokenizer(**kwargs, vgg_weights=str(npz_path))
+    assert tok.vgg_pretrained
+
+    # loaded params match the direct conversion
+    direct = load_torch_vgg16_state_dict(state)
+    jax.tree.map(np.testing.assert_array_equal, tok.vgg_params, direct)

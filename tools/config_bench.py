@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""TPU throughput for BASELINE configs 4 and 5 (VERDICT round-1 item 9).
+
+Config 4 — Open-MAGVIT2 scale: 256px image tokenizer, 2^18 LFQ codebook.
+  Metric: images/sec/chip for tokenize (encode+quantize) and decode.
+Config 5 — long-video streaming: 256px x 65 frames, chunked causal
+  tokenize/decode with carried state.
+  Metric: frames/sec/chip end-to-end through the streaming session, plus
+  peak HBM if available.
+
+Usage: python tools/config_bench.py [--which 4|5|all] [--batch N]
+Prints one JSON line per config.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def _device_peak_hbm():
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get('peak_bytes_in_use')
+    except Exception:
+        return None
+
+
+def bench_config4(batch):
+    import jax
+    import jax.numpy as jnp
+
+    from magvit2_pytorch_tpu.configs import open_magvit2_image_tokenizer_kwargs
+    from magvit2_pytorch_tpu.models import VideoTokenizer
+
+    tok = VideoTokenizer(**open_magvit2_image_tokenizer_kwargs(), seed=0)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        tok.params)
+    module = tok.module
+
+    @jax.jit
+    def roundtrip(params, images, n):
+        def body(i, imgs):
+            recon, _ = module.apply({'params': params}, imgs)
+            return recon + 1e-6 * i
+        return jax.lax.fori_loop(0, n, body, images)
+
+    shape = (batch, 256, 256, 3)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).uniform(size=shape).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = roundtrip(params, imgs, n)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    run(2)
+    t_short, t_long = run(2), run(8)
+    per_iter = (t_long - t_short) / 6
+    ips = batch / per_iter
+    print(json.dumps({
+        'metric': 'config4_open_magvit2_images_per_sec_per_chip',
+        'value': round(ips, 2),
+        'unit': f'images/sec/chip @256px 2^18 LFQ encode+decode '
+                f'(bf16, batch {batch})',
+        'peak_hbm_bytes': _device_peak_hbm(),
+    }))
+
+
+def bench_config5(batch):
+    import jax
+    import jax.numpy as jnp
+
+    from magvit2_pytorch_tpu.configs import streaming_video_tokenizer_kwargs
+    from magvit2_pytorch_tpu.models import VideoTokenizer
+    from magvit2_pytorch_tpu.models.streaming import (
+        decode_streaming,
+        tokenize_streaming,
+    )
+
+    tok = VideoTokenizer(
+        **streaming_video_tokenizer_kwargs(
+            use_gan=False, perceptual_loss_weight=0.0),
+        seed=0,
+    )
+    tok.params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        tok.params)
+
+    frames = 65
+    video = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(batch, frames, 256, 256, 3)).astype(np.float32))
+
+    def run():
+        t0 = time.perf_counter()
+        codes = tokenize_streaming(tok, video, chunk_frames=16)
+        recon = decode_streaming(tok, codes)
+        jax.block_until_ready(recon)
+        return time.perf_counter() - t0, recon
+
+    run()  # compile both chunked programs
+    elapsed, recon = run()
+    assert recon.shape == video.shape, (recon.shape, video.shape)
+    fps = batch * frames / elapsed
+    print(json.dumps({
+        'metric': 'config5_streaming_frames_per_sec_per_chip',
+        'value': round(fps, 2),
+        'unit': f'frames/sec/chip @256px x {frames}f chunked streaming '
+                f'tokenize+decode (bf16 params, batch {batch})',
+        'peak_hbm_bytes': _device_peak_hbm(),
+    }))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--which', default='all', choices=['4', '5', 'all'])
+    parser.add_argument('--batch', type=int, default=None)
+    args = parser.parse_args()
+
+    if args.which in ('4', 'all'):
+        bench_config4(args.batch or 64)
+    if args.which in ('5', 'all'):
+        bench_config5(args.batch or 1)
+
+
+if __name__ == '__main__':
+    main()
