@@ -147,9 +147,14 @@ class SqueezeExcite(nn.Module):
         k = k - jnp.max(k, axis=sp_axes, keepdims=True)
         attn = jnp.exp(k)
         attn = attn / jnp.sum(attn, axis=sp_axes, keepdims=True)
-        context = jnp.sum(
-            x.astype(jnp.float32) * attn, axis=sp_axes, keepdims=True)
-        context = context.astype(x.dtype)                 # (..., 1, 1, c)
+        # weighted spatial mean as an einsum contraction (f32 accumulate): the
+        # previous `x.astype(f32) * attn` materialized the FULL activation in
+        # f32 — at the 128px stage that one temp (plus its backward cotangent)
+        # was the largest allocation in the training step's OOM dump
+        context = jnp.einsum(
+            '...hwc,...hw->...c', x, attn[..., 0].astype(x.dtype),
+            preferred_element_type=jnp.float32)
+        context = context[..., None, None, :].astype(x.dtype)  # (...,1,1,c)
 
         g = Linear(dim_hidden, name='gate_in')(context)
         g = leaky_relu(g)

@@ -217,7 +217,11 @@ class VideoTokenizerTrainer:
                 replicate(p, self.mesh) for p in self.model.multiscale_params]
             self.discr_opt_state = replicate(self.discr_opt_state, self.mesh)
         if exists(self.model.vgg_params):
-            self.model.vgg_params = replicate(self.model.vgg_params, self.mesh)
+            # the perceptual net is value-only during training (no grads land
+            # on it): hold it in the compute dtype — fp32 VGG16 weights alone
+            # are ~540MB of HBM
+            self.model.vgg_params = replicate(
+                self.policy.cast_to_compute(self.model.vgg_params), self.mesh)
 
         self.checkpoints_folder = Path(checkpoints_folder)
         self.results_folder = Path(results_folder)
@@ -315,12 +319,14 @@ class VideoTokenizerTrainer:
     def _next_batches(self, dl_iter):
         """Pull grad_accum_every (process-local) batches, stack to
         (A, B_local, ...), assemble the global (A, B, ...) array sharded over
-        the mesh's batch axes."""
+        the mesh's batch axes. Uploaded directly in the compute dtype — an
+        fp32 copy of the full accum x batch of clips was one of the largest
+        allocations in the training step (532MB at 128px batch 2 x accum 2)."""
+        dtype = np.dtype(self.policy.compute_dtype)
         batches = []
         for _ in range(self.grad_accum_every):
             data, *_ = next(dl_iter)
-            arr = np.asarray(data, dtype=np.float32)
-            batches.append(arr)
+            batches.append(np.asarray(data, dtype=dtype))
         stacked = np.stack(batches)
         return self._put_global(stacked, leading_none=1)
 
@@ -402,7 +408,9 @@ class VideoTokenizerTrainer:
             metrics['total_loss'] = loss_sum / accum
             return new_params, new_opt_state, new_ema, metrics
 
-        fn = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+        # donate the batch (argnum 6) too: its buffer is dead after the last
+        # micro-batch read and the allocator can reuse it for gradients
+        fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 6))
         self._jit_cache[key] = fn
         return fn
 
@@ -456,7 +464,7 @@ class VideoTokenizerTrainer:
             }
             return new_tree, new_opt_state, metrics
 
-        fn = jax.jit(step_fn, donate_argnums=(0, 1))
+        fn = jax.jit(step_fn, donate_argnums=(0, 1, 3))
         self._jit_cache[key] = fn
         return fn
 

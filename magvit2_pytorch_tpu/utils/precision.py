@@ -37,6 +37,14 @@ class Policy:
 
 
 def default_policy() -> Policy:
+    """Backend-appropriate default: bf16 compute on TPU (the production
+    policy — fp32 training on v5e runs at half MXU rate and doubles
+    activation HBM), plain fp32 elsewhere (CPU tests, exact numerics)."""
+    try:
+        if jax.default_backend() == 'tpu':
+            return bf16_policy()
+    except Exception:  # pragma: no cover - backend probe never fails in tests
+        pass
     return Policy()
 
 
