@@ -47,11 +47,13 @@ def _on_tpu() -> bool:
 
 
 def _flash_friendly_nm(n: int, m: int, d: int) -> bool:
-    # profiled on v5e: below ~2k sequence length / 64 head-dim the fused XLA
-    # softmax path beats the Pallas kernel (kernel launch + VMEM streaming
-    # overheads dominate); the tokenizer's axial attention typically sits at
-    # n=256..1024, so flash only engages for large-resolution configs
-    return 64 <= d <= 256 and n >= 2048 and m >= 2048
+    # re-profiled on v5e (round 2, chained-dispatch slope timing, bf16,
+    # block_q=block_k=512): flash beats the XLA einsum+softmax path from
+    # n>=1024 for both d=32 and d=64 — fwd 2-3.5x, fwd+bwd 2-5x (Pallas
+    # backward kernels) — and by ~50-95x at n=8192 where XLA's materialized
+    # (n, m) score matrix spills to HBM. Below n=1024 both are sub-ms and
+    # XLA's fusion wins on kernel-launch overhead.
+    return 32 <= d <= 256 and n >= 1024 and m >= 1024
 
 
 def attend(

@@ -11,9 +11,16 @@ Supports the reference's attention semantics:
   ``m - n`` left keys plus keys up to its position; attend.py:109-129)
 - arbitrary k_len via padding + validity masking
 
-Backward pass: custom VJP that recomputes attention with the XLA einsum path
-and differentiates through that — exact gradients, flash-speed forward. (A
-dedicated Pallas backward kernel is a later optimization.)
+Backward pass: dedicated Pallas kernels (round-2; round 1 recomputed through
+XLA). The forward also emits the per-row logsumexp; backward runs two kernels
+with the standard flash decomposition — per q-block for dQ, per k-block for
+dK/dV — recomputing P = exp(S - lse) tile-by-tile so the (n, m) score matrix
+is never materialized in HBM in either direction:
+
+    D  = rowsum(dO * O)                     (XLA, elementwise)
+    dV = P^T dO
+    dP = dO V^T;  dS = P * (dP - D)
+    dQ = dS K * scale;  dK = dS^T Q * scale
 """
 
 from __future__ import annotations
@@ -29,8 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from magvit2_pytorch_tpu.utils.helpers import default
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+# v5e-tuned (round 2): 512x512 blocks keep the MXU fed (the 128x128 round-1
+# default lost to XLA at every shape; 512 wins 2-5x at n=1024-4096 and ~50x
+# at n=8192 where XLA's materialized score matrix thrashes HBM).
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
@@ -38,10 +48,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
-                  kv_len: int, offset: int, block_q: int, block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                  causal: bool, kv_len: int, offset: int, block_q: int,
+                  block_k: int):
     """One (bh, q-block) program. q_ref: (1, block_q, d); k_ref/v_ref:
-    (1, m_pad, d); o_ref: (1, block_q, d)."""
+    (1, m_pad, d); o_ref: (1, block_q, d); lse_ref: (1, 1, block_q) —
+    the per-row logsumexp saved for the Pallas backward. lse rides in a
+    (bh, 1, n_pad) array because TPU block specs need the trailing two block
+    dims to tile as (8k, 128k) or equal the array dims — (1, block_q) on a
+    2-D (bh, n_pad) array is not lowerable."""
     qi = pl.program_id(1)
     d = q_ref.shape[-1]
     m_pad = k_ref.shape[1]
@@ -81,9 +96,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
             preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)
 
 
 def _flash_forward(q, k, v, causal: bool, scale: float,
@@ -111,7 +127,7 @@ def _flash_forward(q, k, v, causal: bool, scale: float,
         _flash_kernel, scale=scale, causal=causal, kv_len=m, offset=offset,
         block_q=block_q, block_k=block_k)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -122,9 +138,16 @@ def _flash_forward(q, k, v, causal: bool, scale: float,
             pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, n_pad), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n_pad * m_pad * d,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
@@ -133,38 +156,218 @@ def _flash_forward(q, k, v, causal: bool, scale: float,
         interpret=interpret,
     )(qf, kf, vf)
 
-    return out[:, :n].reshape(b, h, n, d)
+    return out[:, :n].reshape(b, h, n, d), lse
 
 
-def _reference_attention(q, k, v, causal: bool, scale: float):
-    """XLA einsum path used for the backward recompute."""
-    n, m = q.shape[-2], k.shape[-2]
-    dots = jnp.einsum('bhid,bhjd->bhij', q, k,
-                      preferred_element_type=jnp.float32) * scale
-    if causal:
-        i = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
-        j = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
-        dots = jnp.where(j > (i + (m - n)), jnp.finfo(jnp.float32).min, dots)
-    attn = jax.nn.softmax(dots, axis=-1)
-    out = jnp.einsum('bhij,bhjd->bhid', attn.astype(v.dtype), v)
-    return out.astype(q.dtype)
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+                   scale: float, causal: bool, kv_len: int, offset: int,
+                   block_q: int, block_k: int):
+    """dQ for one (bh, q-block): stream k-blocks, recompute P row-block."""
+    qi = pl.program_id(1)
+    d = q_ref.shape[-1]
+    m_pad = k_ref.shape[1]
+    num_kb = m_pad // block_k
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]                                  # (block_q,)
+    delta = delta_ref[0, 0]                              # (block_q,)
+
+    row_ids = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+
+    def body(kb, dq):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        col_ids = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = col_ids < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids + offset)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (block_q, block_k)
+        ds = p * (dp - delta[:, None])
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(
+        0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale: float, causal: bool,
+                    kv_len: int, q_len: int, offset: int, block_q: int,
+                    block_k: int):
+    """dK/dV for one (bh, k-block): stream q-blocks, recompute P^T."""
+    ki = pl.program_id(1)
+    d = q_ref.shape[-1]
+    n_pad = q_ref.shape[1]
+    num_qb = n_pad // block_q
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    col_ids = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (block_q, block_k)
+
+        row_ids = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        mask = jnp.logical_and(col_ids < kv_len, row_ids < q_len)
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids + offset)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+
+        dv_new = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (block_k, d)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (block_q, block_k)
+        ds = p * (dp - delta[:, None])
+        dk_new = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (block_k, d)
+        return dk_new, dv_new
+
+    zeros = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (zeros, zeros))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, causal: bool, scale: float,
+                    block_q: int, block_k: int, interpret: bool):
+    b, h, n, d = q.shape
+    m = k.shape[-2]
+    offset = m - n
+    n_pad = _round_up(n, block_q)
+    m_pad = _round_up(m, block_k)
+
+    qf = q.reshape(b * h, n, d)
+    kf = k.reshape(b * h, m, d)
+    vf = v.reshape(b * h, m, d)
+    dof = g.reshape(b * h, n, d)
+    of = out.reshape(b * h, n, d)
+
+    # delta = rowsum(dO * O) — cheap elementwise, stays in XLA
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        qf = jnp.pad(qf, pad)
+        dof = jnp.pad(dof, pad)
+        delta = jnp.pad(delta, ((0, 0), (0, n_pad - n)))
+        # lse from the kernel is already n_pad long
+    delta = delta[:, None, :]                            # (bh, 1, n_pad)
+    if m_pad != m:
+        pad = ((0, 0), (0, m_pad - m), (0, 0))
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, scale=scale, causal=causal, kv_len=m, offset=offset,
+        block_q=block_q, block_k=block_k)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b * h, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, scale=scale, causal=causal, kv_len=m, q_len=n,
+        offset=offset, block_q=block_q, block_k=block_k)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, m_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, d), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, m_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, m_pad, d), v.dtype),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    dq = dq[:, :n].reshape(b, h, n, d)
+    dk = dk[:, :m].reshape(b, h, m, d)
+    dv = dv[:, :m].reshape(b, h, m, d)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_attention(q, k, v, causal, scale, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, causal, scale, block_q, block_k, interpret)
+    out, _ = _flash_forward(q, k, v, causal, scale, block_q, block_k,
+                            interpret)
+    return out
 
 
 def _fwd(q, k, v, causal, scale, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, causal, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, causal, scale, block_q, block_k,
+                              interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(causal, scale, block_q, block_k, interpret, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v: _reference_attention(q, k, v, causal, scale), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = residuals
+    return _flash_backward(q, k, v, out, lse, g, causal, scale,
+                           block_q, block_k, interpret)
 
 
 _flash_attention.defvjp(_fwd, _bwd)

@@ -176,9 +176,18 @@ def tokenizer_loss(
 
         def to_rgb(f):
             if channels == 1:
-                return jnp.repeat(f, 3, axis=-1)
-            if channels == 4:
-                return f[..., :3]
+                f = jnp.repeat(f, 3, axis=-1)
+            elif channels == 4:
+                f = f[..., :3]
+            # VGG16's five 2x2 max-pools need >=32px: below that the final
+            # pool has zero extent, which silently yields NaN features (torch
+            # errors loudly on the same input — reference :1806). Upscale tiny
+            # frames so small-config training still gets a perceptual signal.
+            fh, fw = f.shape[1], f.shape[2]
+            if fh < 32 or fw < 32:
+                f = jax.image.resize(
+                    f, (f.shape[0], max(fh, 32), max(fw, 32), f.shape[-1]),
+                    method='bilinear').astype(f.dtype)
             return f
 
         vgg_apply = lambda im: vgg_module.apply(vgg_params, to_rgb(im))

@@ -45,3 +45,28 @@ def test_flash_gradients_match_xla():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize('causal', [False, True])
+def test_flash_backward_kernel_ragged_memory_kv(causal):
+    """Pallas backward kernels (round 2): gradients must match XLA with
+    right-aligned causal masking, memory-KV (m > n), and n/m that are NOT
+    multiples of the block size (padded rows/cols must contribute zero)."""
+    q = _rand((2, 2, 130, 32), 6)
+    k = _rand((2, 2, 134, 32), 7)
+    v = _rand((2, 2, 134, 32), 8)
+    g_out = _rand((2, 2, 130, 32), 9)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal,
+                                       interpret=True) * g_out)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_attend_xla(q, k, v, causal=causal, mask=None,
+                                   scale=None) * g_out)
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
