@@ -287,7 +287,9 @@ class VideoTokenizerTrainer:
         plain sharded device_put. Multi-process: every process holds only its
         shard of the batch axis (the sharded DataLoader guarantees process p
         decoded contiguous chunk p), assembled into one global array."""
-        b = local.shape[leading_none]
+        # `local` holds only this process's shard of the batch axis; the
+        # divisibility contract is on the GLOBAL batch.
+        b = local.shape[leading_none] * self._n_proc
         if b % data_parallel_extent(self.mesh):
             # small validation splits can't shard evenly; run them unsharded
             # (single-host only — the train path asserts divisibility upfront)
