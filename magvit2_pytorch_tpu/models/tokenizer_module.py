@@ -42,7 +42,7 @@ from magvit2_pytorch_tpu.ops.basic import (
     Sequential,
     TokenShift,
 )
-from magvit2_pytorch_tpu.ops.conv import CausalConv3d, SameConv2d
+from magvit2_pytorch_tpu.ops.conv import CausalConv3d, SameConv2d, w_unblock
 from magvit2_pytorch_tpu.ops.gateloop import SimpleGateLoopLayer, ToTimeSequence
 from magvit2_pytorch_tpu.ops.norms import LayerNorm
 from magvit2_pytorch_tpu.ops.quantizers import FSQ, LFQ
@@ -124,6 +124,19 @@ class TokenizerConfig:
     # recompute only the cheap elementwise/norm ops — most of the memory win
     # at a fraction of the recompute FLOPs
     remat: object = False
+    # lane packing (ops/conv.py module note): when the stem stage has < 128
+    # channels, run it in the w-blocked layout (W/2, 2C) so the TPU's 128-wide
+    # vector lanes / MXU are fully used; pure layout transform, numerics
+    # unchanged up to float reduction order. Auto-disabled for ineligible
+    # configs (separate first-frame stem, non-zero pad modes, odd sizes).
+    # False | True (encoder+decoder) | 'encoder'. Measured on v5e: +8%
+    # roundtrip at batch<=96, numerics exact (9e-8 f32), but two costs keep
+    # it off by default: packing the DECODER stage triggers an XLA layout
+    # copy of the 5.4GB upsample output (+2.7GB peak HBM at batch 128), and
+    # even encoder-only packing trips the runtime allocator at the flagship
+    # bench's 13.4GB/16GB edge despite an identical static memory analysis.
+    # Opt in for small/medium-batch inference and training. See STATUS.md.
+    lane_pack: object = False
 
     def __post_init__(self):
         # normalize layer defs to tuples for hashability / JSON round-trip
@@ -170,6 +183,29 @@ class TokenizerConfig:
         if d.get('max_dim') == 'inf':
             d['max_dim'] = float('inf')
         return cls(**d)
+
+
+def _compute_lane_pack_end(config: TokenizerConfig) -> int:
+    """Spec index of the ``compress_space`` that terminates the lane-packed
+    stem stage, or -1 when packing is off or the config is ineligible. The
+    packed region is conv_in + a (possibly empty) run of residual layers,
+    ended by the stride-2 spatial conv that consumes the blocked layout."""
+    cfg = config
+    if not cfg.lane_pack:
+        return -1
+    if cfg.separate_first_frame_encoding:
+        return -1  # the 2D first-frame stem is not blocked-layout aware
+    if cfg.pad_mode not in ('constant', 'zeros'):
+        return -1  # blocked w-padding is zero-fill only
+    if cfg.init_dim >= 128 or cfg.image_size % 2:
+        return -1  # full lanes already / can't split w
+    for i, spec in enumerate(cfg.parsed().specs):
+        t = spec.layer_type
+        if t == 'compress_space':
+            return i
+        if t not in ('residual', 'consecutive_residual'):
+            return -1
+    return -1
 
 
 def _attend_backend(config: TokenizerConfig) -> Optional[str]:
@@ -272,6 +308,9 @@ class TokenizerModule(nn.Module):
         cfg = self.config
         parsed = cfg.parsed()
         self.parsed_layers = parsed
+        end = _compute_lane_pack_end(cfg)
+        self.lane_pack_end = end if cfg.lane_pack in (True, 'encoder') else -1
+        self.lane_pack_dec_end = end if cfg.lane_pack is True else -1
 
         self.conv_in = CausalConv3d(
             cfg.init_dim, cfg.input_conv_kernel_size, pad_mode=cfg.pad_mode,
@@ -383,6 +422,7 @@ class TokenizerModule(nn.Module):
 
         cond = self._prep_cond(cond, video.shape[0], encoder=True)
 
+        pack_end = self.lane_pack_end
         if encode_first_frame_separately:
             first_frame = video[:, tp]
             rest = video[:, tp + 1:]
@@ -391,13 +431,20 @@ class TokenizerModule(nn.Module):
             x = jnp.concatenate([first[:, None], x], axis=1)
             x = jnp.pad(x, [(0, 0), (tp, 0), (0, 0), (0, 0), (0, 0)])
         else:
-            x = self.conv_in(video, streaming=streaming)
+            x = self.conv_in(video, streaming=streaming,
+                             w_blocked_out=pack_end >= 0)
 
-        for layer, has_cond in zip(self.encoder_layers,
-                                   self.parsed_layers.has_cond_across_layers):
+        for i, (layer, has_cond) in enumerate(
+                zip(self.encoder_layers,
+                    self.parsed_layers.has_cond_across_layers)):
             kwargs = dict(cond=cond) if (has_cond and exists(cond)) else dict()
             if streaming:
                 kwargs['streaming'] = True
+            if 0 <= pack_end:
+                if i < pack_end:
+                    kwargs['w_blocked'] = True
+                elif i == pack_end:
+                    kwargs['w_blocked_in'] = True
             x = self._apply_layer(layer, x, remat=self.config.remat, **kwargs)
 
         if cfg.apply_final_norm:
@@ -422,13 +469,23 @@ class TokenizerModule(nn.Module):
         cond = self._prep_cond(cond, quantized.shape[0], encoder=False)
 
         x = quantized
+        pack_end = self.lane_pack_dec_end
+        n = len(self.decoder_layers)
         # decoder_layers are stored reversed already; cond flags mirror too
-        for layer, has_cond in zip(
+        for j, (layer, has_cond) in enumerate(zip(
                 self.decoder_layers,
-                reversed(self.parsed_layers.has_cond_across_layers)):
+                reversed(self.parsed_layers.has_cond_across_layers))):
             kwargs = dict(cond=cond) if (has_cond and exists(cond)) else dict()
             if streaming:
                 kwargs['streaming'] = True
+            if 0 <= pack_end:
+                spec_index = n - 1 - j
+                if spec_index == pack_end:
+                    # the mirrored SpatialUpsample2x enters the packed stage:
+                    # its w-phase channels ARE the blocked layout, for free
+                    kwargs['w_blocked_out'] = True
+                elif spec_index < pack_end:
+                    kwargs['w_blocked'] = True
             x = self._apply_layer(layer, x, remat=self.config.remat, **kwargs)
         return x
 
@@ -450,7 +507,11 @@ class TokenizerModule(nn.Module):
             outff = self.conv_out_first_frame(xff)
             video = jnp.concatenate([outff[:, None], out], axis=1)
         else:
-            video = self.conv_out(x, streaming=streaming)
+            packed = self.lane_pack_dec_end >= 0
+            video = self.conv_out(x, streaming=streaming,
+                                  w_blocked_in=packed, w_blocked_out=packed)
+            if packed:
+                video = w_unblock(video)
             if video_contains_first_frame and not streaming:
                 video = video[:, tp:]
 
@@ -518,14 +579,18 @@ class TokenizerModule(nn.Module):
             # remat=True/'full': save only layer boundaries (max memory win,
             # one full recompute). remat='dots': jax.checkpoint policy that
             # saves conv/matmul outputs and recomputes only elementwise ops.
+            # Static flags (lane-packing w_blocked*) close over the lambda;
+            # only traced values (cond) become remat arguments.
             policy = None
             if remat == 'dots':
                 policy = _conv_dot_saveable_policy
+            static = {k: v for k, v in kwargs.items() if k != 'cond'}
             if 'cond' in kwargs:
-                fn = nn.remat(lambda mdl, x, cond: mdl(x, cond=cond),
-                              prevent_cse=False, policy=policy)
+                fn = nn.remat(
+                    lambda mdl, x, cond: mdl(x, cond=cond, **static),
+                    prevent_cse=False, policy=policy)
                 return fn(layer, x, kwargs['cond'])
-            fn = nn.remat(lambda mdl, x: mdl(x), prevent_cse=False,
+            fn = nn.remat(lambda mdl, x: mdl(x, **static), prevent_cse=False,
                           policy=policy)
             return fn(layer, x)
         if not kwargs:

@@ -132,9 +132,39 @@ class SqueezeExcite(nn.Module):
     init_bias: float = -10.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, w_blocked: bool = False):
         dim_out = default(self.dim_out, self.dim)
         dim_hidden = max(self.dim_hidden_min, dim_out // 2)
+
+        if w_blocked:
+            # lane packing (ops/conv.py): x is (..., h, w/2, 2c) with channel
+            # order (phase, c). Splitting the minor dim (..., 2, c) is free
+            # (c stays minor); softmax then runs jointly over (h, w/2, phase)
+            # == the original (h, w) positions, and the context contraction
+            # sums over the same set — numerics match the unblocked path.
+            assert dim_out == self.dim, 'blocked SE requires dim_out == dim'
+            c = x.shape[-1] // 2
+            xv = x.reshape(*x.shape[:-1], 2, c)
+            k = Linear(1, name='to_k')(xv).astype(jnp.float32)[..., 0]
+            sp_axes = (-3, -2, -1)  # (h, w/2, phase)
+            k = k - jnp.max(k, axis=sp_axes, keepdims=True)
+            attn = jnp.exp(k)
+            attn = attn / jnp.sum(attn, axis=sp_axes, keepdims=True)
+            context = jnp.einsum(
+                '...hwpc,...hwp->...c', xv, attn.astype(x.dtype),
+                preferred_element_type=jnp.float32)
+            context = context[..., None, None, :].astype(x.dtype)
+
+            g = Linear(dim_hidden, name='gate_in')(context)
+            g = leaky_relu(g)
+            gate_out = nn.Dense(
+                dim_out,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.constant(self.init_bias),
+                name='gate_out',
+            )(g)
+            gates = jax.nn.sigmoid(gate_out)              # (..., 1, 1, c)
+            return jnp.concatenate([gates, gates], axis=-1) * x
 
         is_video = x.ndim == 5
         sp_axes = (-3, -2)  # (h, w); per-frame context for video

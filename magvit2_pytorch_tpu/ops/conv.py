@@ -61,6 +61,86 @@ def _maybe_explicit_pad(x, pads, pad_mode: str):
     return jnp.pad(x, full, mode=mode)
 
 
+# -- lane packing (w-blocked layout) ------------------------------------------
+#
+# TPU vector lanes are 128 wide and the MXU is 128x128; a stage with C < 128
+# (the flagship's 64-channel 128px stage) pads every activation's minor dim to
+# 128 — HALF the lanes (and HBM bytes) are dead on every op. Lane packing
+# folds the width axis's parity phase into channels, ``(B,T,H,W,C) ->
+# (B,T,H,W/2,2C)``, so the stage runs with a full-width minor dim: measured on
+# v5e, the 3^3 conv goes 9.4 -> 7.1 ms and elementwise ops 1.8 -> 0.8 ms at
+# (8,17,128,128,64). The layout persists across the whole stage (a one-off
+# re-tiling shuffle costs ~1.8 ms, so per-op blocking would lose); convs
+# consume/produce the blocked layout directly via compile-time kernel
+# rearrangements below — parameters stay in the reference's unblocked layout,
+# so checkpoints are unaffected.
+
+
+def w_block(x):
+    """(..., W, C) -> (..., W/2, 2C), channel order (phase, c). Free reshape
+    in logical terms (C stays minor)."""
+    *lead, w, c = x.shape
+    return x.reshape(*lead, w // 2, 2 * c)
+
+
+def w_unblock(x):
+    """(..., W/2, 2C) -> (..., W, C)."""
+    *lead, w2, c2 = x.shape
+    return x.reshape(*lead, w2 * 2, c2 // 2)
+
+
+def _w_block_kernel_dense(kernel):
+    """Rearrange ``(kt, kh, kw, ci, f)`` into the dense w-blocked kernel
+    ``(kt, kh, ku, 2ci, 2f)`` computing the SAME stride-1 conv on a w-blocked
+    tensor. Output phase ``p`` at block ``u`` needs original tap
+    ``w = 2u + p + dw``; entries outside any (p, dw) pair are structural
+    zeros (they multiply to exact 0, so numerics match the direct conv up to
+    reduction-order). Returns (blocked_kernel, (w2_pad_lo, w2_pad_hi))."""
+    kt, kh, kw, ci, f = kernel.shape
+    r = kw // 2
+    lo = -((r + 1) // 2)
+    hi = (1 + r) // 2
+    ku = hi - lo + 1
+    wb = jnp.zeros((kt, kh, ku, 2 * ci, 2 * f), kernel.dtype)
+    for p in range(2):
+        for dw in range(-r, r + 1):
+            pos = p + dw
+            du, pin = pos // 2, pos % 2
+            wb = wb.at[:, :, du - lo, pin * ci:(pin + 1) * ci,
+                       p * f:(p + 1) * f].set(kernel[:, :, dw + r])
+    return wb, (-lo, hi)
+
+
+def _w_block_kernel_in_down2(kernel):
+    """Rearrange ``(kt, kh, kw, ci, f)`` into the blocked-INPUT kernel for a
+    stride-2-in-w conv: consumes the w-blocked layout at w2 stride 1 and
+    produces the UNBLOCKED downsampled output (one output per input block).
+    Returns (kernel ``(kt, kh, ku, 2ci, f)``, (w2_pad_lo, w2_pad_hi))."""
+    kt, kh, kw, ci, f = kernel.shape
+    r = kw // 2
+    lo, hi = (-r) // 2, r // 2
+    ku = hi - lo + 1
+    wb = jnp.zeros((kt, kh, ku, 2 * ci, f), kernel.dtype)
+    for dw in range(-r, r + 1):
+        du, pin = dw // 2, dw % 2
+        wb = wb.at[:, :, du - lo, pin * ci:(pin + 1) * ci, :].set(
+            kernel[:, :, dw + r])
+    return wb, (-lo, hi)
+
+
+def _w_block_kernel_out(kernel):
+    """Rearrange ``(kt, kh, kw, ci, f)`` into the blocked-OUTPUT kernel
+    ``(kt, kh, kw+1, ci, 2f)``: a stride-2-in-w conv over the UNBLOCKED input
+    producing the w-blocked output (both phases as channels, so the output's
+    minor dim is 2f instead of f). Returns (kernel, (w_pad_lo, w_pad_hi))."""
+    kt, kh, kw, ci, f = kernel.shape
+    r = kw // 2
+    wb = jnp.zeros((kt, kh, kw + 1, ci, 2 * f), kernel.dtype)
+    for p in range(2):
+        wb = wb.at[:, :, p:p + kw, :, p * f:(p + 1) * f].set(kernel)
+    return wb, (r, r + 1)
+
+
 class CausalConv3d(nn.Module):
     """Time-causal 3D conv on ``(B, T, H, W, C)``.
 
@@ -76,18 +156,30 @@ class CausalConv3d(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, streaming: bool = False):
+    def __call__(self, x, streaming: bool = False,
+                 w_blocked_in: bool = False, w_blocked_out: bool = False):
         """``streaming=True`` carries the causal time history in a flax
         'cache' variable (apply with ``mutable=['cache']``): chunked calls
         produce bit-identical outputs to one whole-clip call — the carried
-        conv state of SURVEY.md §5.7's long-video streaming design."""
+        conv state of SURVEY.md §5.7's long-video streaming design.
+
+        ``w_blocked_in`` / ``w_blocked_out``: lane-packing layout flags (see
+        module-level note). Blocked-in expects ``x`` as ``(B,T,H,W/2,2C)``;
+        blocked-out emits that layout. Param layout is unchanged — the kernel
+        is rearranged at trace time."""
         kt, kh, kw = cast_tuple(self.kernel_size, 3)
         assert is_odd(kh) and is_odd(kw)
+        if w_blocked_in or w_blocked_out:
+            assert self.pad_mode in ('constant', 'zeros'), (
+                'lane packing supports zero w-padding only')
+            assert w_blocked_in == w_blocked_out or not w_blocked_in, (
+                'blocked-in without blocked-out is unsupported')
 
         time_pad = self.dilation * (kt - 1) + (1 - self.stride)
         hp, wp = kh // 2, kw // 2
 
-        c_in = x.shape[-1]
+        c_raw = x.shape[-1]
+        c_in = c_raw // 2 if w_blocked_in else c_raw
         kernel = self.param(
             'kernel', torch_kernel_init, (kt, kh, kw, c_in, self.features))
         bias = self.param(
@@ -98,6 +190,19 @@ class CausalConv3d(nn.Module):
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
 
+        w_strides = (1, 1)
+        if w_blocked_in:                     # blocked -> blocked, w stride 1
+            kernel, (wplo, wphi) = _w_block_kernel_dense(kernel)
+        elif w_blocked_out:                  # unblocked -> blocked, w stride 2
+            kernel, (wplo, wphi) = _w_block_kernel_out(kernel)
+            w_strides = (1, 2)
+        else:
+            wplo = wphi = wp
+        if bias is not None and (w_blocked_in or w_blocked_out):
+            bias = jnp.concatenate([bias, bias])
+
+        unfold_taps = 0     # set by the tiny-C_in unfold branch below
+
         if streaming and time_pad > 0:
             assert self.pad_mode in ('constant', 'zeros'), (
                 'streaming requires zero pad_mode (the zero-initialized cache '
@@ -105,10 +210,10 @@ class CausalConv3d(nn.Module):
             b, _, h, w, _ = x.shape
             cache = self.variable(
                 'cache', 'time_state',
-                lambda: jnp.zeros((b, time_pad, h, w, c_in), dtype))
+                lambda: jnp.zeros((b, time_pad, h, w, x.shape[-1]), dtype))
             x = jnp.concatenate([cache.value.astype(dtype), x], axis=1)
             cache.value = x[:, -time_pad:]
-            padding = [(0, 0), (hp, hp), (wp, wp)]
+            padding = [(0, 0), (hp, hp), (wplo, wphi)]
         elif (not streaming and kt > 1 and self.stride == 1
                 and self.dilation == 1 and c_in * kt <= 32):
             # tiny-C_in stem (conv_in: C=3): the MXU contracts over input
@@ -121,42 +226,50 @@ class CausalConv3d(nn.Module):
             x = _maybe_explicit_pad(
                 x, [(time_pad, 0), (0, 0), (0, 0)],
                 pad_mode if pad_mode != 'zeros' else 'constant')
-            t_out = x.shape[1] - (kt - 1)
-            x = jnp.concatenate(
-                [x[:, i:i + t_out] for i in range(kt)], axis=-1)
+            # generic over the (possibly w-blocked) kernel's actual dims
+            _, k_h, k_w, k_ci, k_f = kernel.shape
             kernel = kernel.transpose(1, 2, 0, 3, 4).reshape(
-                1, kh, kw, kt * c_in, self.features)
-            padding = [(0, 0), (hp, hp), (wp, wp)]
+                1, k_h, k_w, kt * k_ci, k_f)
+            padding = [(0, 0), (hp, hp), (wplo, wphi)]
+            unfold_taps = kt
         else:
             # reference falls back to zero padding when the clip is shorter
             # than the causal pad (magvit2_pytorch.py:925)
             pad_mode = self.pad_mode if time_pad < x.shape[1] else 'constant'
             if pad_mode in ('constant', 'zeros'):
-                padding = [(time_pad, 0), (hp, hp), (wp, wp)]
+                padding = [(time_pad, 0), (hp, hp), (wplo, wphi)]
             else:
                 x = _maybe_explicit_pad(
-                    x, [(time_pad, 0), (hp, hp), (wp, wp)], pad_mode)
+                    x, [(time_pad, 0), (hp, hp), (wplo, wphi)], pad_mode)
                 padding = [(0, 0)] * 3
 
         # tiny-C_out head (conv_out: C=3): XLA lowers 3-lane-output convs as a
         # slow kLoop fusion (~30 ms on the flagship roundtrip); zero-padding
         # the output channels to a sublane multiple flips it onto the MXU
         # conv path, then a cheap slice drops the dead lanes
+        out_features = kernel.shape[-1]
         out_pad = 0
-        if self.features < 8 and kernel.shape[-2] >= 8:
-            out_pad = 8 - self.features
+        if out_features < 8 and kernel.shape[-2] >= 8:
+            out_pad = 8 - out_features
             kernel = jnp.pad(
                 kernel, [(0, 0)] * (kernel.ndim - 1) + [(0, out_pad)])
 
-        out = jax.lax.conv_general_dilated(
-            x, kernel,
-            window_strides=(self.stride, 1, 1),
-            padding=padding,
-            rhs_dilation=(self.dilation, 1, 1),
-            dimension_numbers=DN_3D,
-        )
+        def do_conv(xi):
+            if unfold_taps > 1:
+                t_out = xi.shape[1] - (unfold_taps - 1)
+                xi = jnp.concatenate(
+                    [xi[:, i:i + t_out] for i in range(unfold_taps)], axis=-1)
+            return jax.lax.conv_general_dilated(
+                xi, kernel,
+                window_strides=(self.stride, 1, w_strides[1]),
+                padding=padding,
+                rhs_dilation=(self.dilation, 1, 1),
+                dimension_numbers=DN_3D,
+            )
+
+        out = do_conv(x)
         if out_pad:
-            out = out[..., :self.features]
+            out = out[..., :out_features]
         if bias is not None:
             out = out + bias.astype(dtype)
         return out
@@ -174,19 +287,31 @@ class Conv3d1x1(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        c_in = x.shape[-1]
+    def __call__(self, x, w_blocked: bool = False):
+        c_in = x.shape[-1] // 2 if w_blocked else x.shape[-1]
         kernel = self.param('kernel', torch_kernel_init, (c_in, self.features))
         dtype = default(self.dtype, x.dtype)
         x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        f = self.features
+        if w_blocked:
+            # lane packing (see module note): per-phase application == one
+            # block-diagonal (2c, 2f) pointwise conv — keeps the blocked
+            # layout flowing; the op is memory-bound so the zero half-blocks
+            # cost nothing that matters
+            kb = jnp.zeros((2 * c_in, 2 * f), dtype)
+            kb = kb.at[:c_in, :f].set(kernel).at[c_in:, f:].set(kernel)
+            kernel, f = kb, 2 * f
         out = jax.lax.conv_general_dilated(
-            x, kernel.astype(dtype).reshape(1, 1, 1, c_in, self.features),
+            x, kernel.reshape(1, 1, 1, kernel.shape[0], f),
             window_strides=(1, 1, 1),
             padding=[(0, 0)] * 3,
             dimension_numbers=DN_3D,
         )
         if self.use_bias:
             bias = self.param('bias', torch_bias_init(c_in), (self.features,))
+            if w_blocked:
+                bias = jnp.concatenate([bias, bias])
             out = out + bias.astype(dtype)
         return out
 

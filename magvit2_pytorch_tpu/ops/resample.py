@@ -27,6 +27,7 @@ from magvit2_pytorch_tpu.ops.conv import (
     CausalConv3d,
     Conv3DMod,
     Conv3d1x1,
+    _w_block_kernel_in_down2,
     blur,
 )
 from magvit2_pytorch_tpu.utils.helpers import cast_tuple, default
@@ -47,20 +48,32 @@ class SpatialDownsample2x(nn.Module):
     antialias: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, w_blocked_in: bool = False):
         dim_out = default(self.dim_out, self.dim)
         k = self.kernel_size
         if self.antialias:
+            assert not w_blocked_in, 'lane packing does not support antialias'
             x = blur(x, space_only=True)
 
-        c_in = x.shape[-1]
+        c_in = x.shape[-1] // 2 if w_blocked_in else x.shape[-1]
         kernel = self.param('kernel', torch_kernel_init, (1, k, k, c_in, dim_out))
         bias = self.param('bias', torch_bias_init(k * k * c_in), (dim_out,))
+        kernel = kernel.astype(x.dtype)
+
+        if w_blocked_in:
+            # lane packing (ops/conv.py): consume the w-blocked stage output
+            # directly — the stride-2 conv emits one (unblocked) output per
+            # input block, so this layer is where the stage's blocked layout
+            # naturally ends
+            kernel, (wplo, wphi) = _w_block_kernel_in_down2(kernel)
+            strides, wp = (1, 2, 1), (wplo, wphi)
+        else:
+            strides, wp = (1, 2, 2), (k // 2, k // 2)
 
         out = jax.lax.conv_general_dilated(
-            x, kernel.astype(x.dtype),
-            window_strides=(1, 2, 2),
-            padding=[(0, 0), (k // 2, k // 2), (k // 2, k // 2)],
+            x, kernel,
+            window_strides=strides,
+            padding=[(0, 0), (k // 2, k // 2), wp],
             dimension_numbers=DN_3D,
         )
         return out + bias.astype(x.dtype)
@@ -138,13 +151,29 @@ class SpatialUpsample2x(nn.Module):
     dim_out: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, w_blocked_out: bool = False):
         dim_out = default(self.dim_out, self.dim)
         c_in = x.shape[-1]
 
         kernel = self.param('kernel', _replicated_kaiming_init(dim_out, 4),
                             (c_in, dim_out * 4))
         bias = self.param('bias', nn.initializers.zeros, (dim_out * 4,))
+
+        if w_blocked_out:
+            # lane packing (ops/conv.py): the upsample ALREADY computes the
+            # w-phase as channels — emitting the blocked layout just skips
+            # the w-interleave: transpose-conv over h only, channels (p2, c)
+            kr = kernel.reshape(c_in, dim_out, 2, 2)     # (cin, c, p1, p2)
+            kt = kr.transpose(2, 0, 3, 1).reshape(2, c_in, 2 * dim_out)
+            kt = kt[None, :, None].astype(x.dtype)       # (1,2,1,cin,2c)
+            out = jax.lax.conv_transpose(
+                x, kt, strides=(1, 2, 1), padding='VALID',
+                dimension_numbers=DN_3D)
+            b2 = bias.reshape(dim_out, 2, 2).transpose(1, 2, 0).reshape(
+                2, 2 * dim_out).astype(x.dtype)          # (p1, (p2, c))
+            h2 = out.shape[2]
+            out = out + jnp.tile(b2, (h2 // 2, 1))[None, None, :, None, :]
+            return jax.nn.silu(out)
 
         # depth-to-space == stride-2 transposed conv with a 2x2 kernel:
         # out[2h+p1, 2w+p2, c] = sum_cin x[h,w,cin] * K[p1,p2,cin,c].
@@ -201,13 +230,15 @@ class _ResidualUnitInner(nn.Module):
     pad_mode: str = 'constant'
 
     @nn.compact
-    def __call__(self, x, streaming: bool = False):
+    def __call__(self, x, streaming: bool = False, w_blocked: bool = False):
         x = CausalConv3d(self.dim, self.kernel_size, pad_mode=self.pad_mode,
-                         name='conv')(x, streaming=streaming)
+                         name='conv')(x, streaming=streaming,
+                                      w_blocked_in=w_blocked,
+                                      w_blocked_out=w_blocked)
         x = elu(x)
-        x = Conv3d1x1(self.dim, name='conv_pointwise')(x)
+        x = Conv3d1x1(self.dim, name='conv_pointwise')(x, w_blocked=w_blocked)
         x = elu(x)
-        return SqueezeExcite(self.dim, name='se')(x)
+        return SqueezeExcite(self.dim, name='se')(x, w_blocked=w_blocked)
 
 
 def ResidualUnit(dim, kernel_size, pad_mode: str = 'constant', name=None):
