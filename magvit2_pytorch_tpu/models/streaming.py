@@ -103,9 +103,16 @@ class StreamingSession:
 
         if not quantize:
             return latents
-        qout = self.module.apply({'params': self.params}, latents,
-                                 method=TokenizerModule.quantize)
-        return qout.indices
+
+        def _quant(params, latents):
+            qout = self.module.apply({'params': params}, latents,
+                                     method=TokenizerModule.quantize)
+            return qout.indices
+
+        # jitted: eager quantization was ~dozens of individual dispatches per
+        # chunk — through a remote-TPU tunnel that dominated the whole session
+        fn = self._jitted(('quant', latents.shape), _quant)
+        return fn(self.params, latents)
 
     # -- decode side ---------------------------------------------------------
 

@@ -9,6 +9,7 @@ identical math, and XLA maps them straight onto the MXU.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -115,6 +116,38 @@ class TokenShift(nn.Module):
         return self.fn(x, **_filter_kwargs(self.fn, kwargs))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _se_context(x, attn, spatial_rank):
+    """f32-accumulated attention-weighted spatial mean with a compute-dtype
+    backward. The plain einsum with ``preferred_element_type=f32`` makes XLA
+    emit the ``dx`` cotangent — a FULL activation-sized tensor — in f32: the
+    training-step OOM dump showed ~11 such 178MB buffers live at once. The
+    f32 accumulation only matters for the (tiny) context output; ``dx`` is
+    mathematically ``attn ⊗ g`` and is exact in the compute dtype."""
+    eq = {2: '...hwc,...hw->...c', 3: '...hwpc,...hwp->...c'}[spatial_rank]
+    return jnp.einsum(eq, x, attn, preferred_element_type=jnp.float32)
+
+
+def _se_context_fwd(x, attn, spatial_rank):
+    return _se_context(x, attn, spatial_rank), (x, attn)
+
+
+def _se_context_bwd(spatial_rank, res, g):
+    x, attn = res
+    gx = g.astype(x.dtype)
+    gb = gx
+    for _ in range(spatial_rank):
+        gb = gb[..., None, :]                     # (..., 1, ..., 1, c)
+    dx = (attn[..., None] * gb).astype(x.dtype)   # compute dtype, not f32
+    eq_t = {2: '...hwc,...c->...hw', 3: '...hwpc,...c->...hwp'}[spatial_rank]
+    dattn = jnp.einsum(eq_t, x, gx,
+                       preferred_element_type=jnp.float32).astype(attn.dtype)
+    return dx, dattn
+
+
+_se_context.defvjp(_se_context_fwd, _se_context_bwd)
+
+
 class SqueezeExcite(nn.Module):
     """Global-context attention-style squeeze-excite (GCNet, arXiv 2012.13375;
     reference magvit2_pytorch.py:194-240).
@@ -150,9 +183,7 @@ class SqueezeExcite(nn.Module):
             k = k - jnp.max(k, axis=sp_axes, keepdims=True)
             attn = jnp.exp(k)
             attn = attn / jnp.sum(attn, axis=sp_axes, keepdims=True)
-            context = jnp.einsum(
-                '...hwpc,...hwp->...c', xv, attn.astype(x.dtype),
-                preferred_element_type=jnp.float32)
+            context = _se_context(xv, attn.astype(x.dtype), 3)
             context = context[..., None, None, :].astype(x.dtype)
 
             g = Linear(dim_hidden, name='gate_in')(context)
@@ -181,9 +212,7 @@ class SqueezeExcite(nn.Module):
         # previous `x.astype(f32) * attn` materialized the FULL activation in
         # f32 — at the 128px stage that one temp (plus its backward cotangent)
         # was the largest allocation in the training step's OOM dump
-        context = jnp.einsum(
-            '...hwc,...hw->...c', x, attn[..., 0].astype(x.dtype),
-            preferred_element_type=jnp.float32)
+        context = _se_context(x, attn[..., 0].astype(x.dtype), 2)
         context = context[..., None, None, :].astype(x.dtype)  # (...,1,1,c)
 
         g = Linear(dim_hidden, name='gate_in')(context)

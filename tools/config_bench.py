@@ -45,26 +45,35 @@ def bench_config4(batch):
         tok.params)
     module = tok.module
 
+    shape = (batch, 256, 256, 3)
+
+    # fresh input per dispatch + an explicit host fetch: the remote-TPU
+    # tunnel memoizes repeated identical executions and its
+    # block_until_ready can return before execution drains
     @jax.jit
-    def roundtrip(params, images, n):
+    def roundtrip(params, key, n):
+        # images run as single-frame videos (the reference's image mode,
+        # magvit2_pytorch.py:1752-1762)
+        imgs = jax.random.uniform(key, (shape[0], 1) + shape[1:],
+                                  jnp.float32).astype(jnp.bfloat16)
+
         def body(i, imgs):
             recon, _ = module.apply({'params': params}, imgs)
             return recon + 1e-6 * i
-        return jax.lax.fori_loop(0, n, body, images)
+        out = jax.lax.fori_loop(0, n, body, imgs)
+        return out[0, 0, 0, 0, :1].astype(jnp.float32)
 
-    shape = (batch, 256, 256, 3)
-    imgs = jnp.asarray(
-        np.random.default_rng(0).uniform(size=shape).astype(np.float32)
-    ).astype(jnp.bfloat16)
+    seed = [0]
 
     def run(n):
+        seed[0] += 1
         t0 = time.perf_counter()
-        out = roundtrip(params, imgs, n)
-        jax.block_until_ready(out)
+        float(np.asarray(roundtrip(params, jax.random.PRNGKey(seed[0]),
+                                   n))[0])
         return time.perf_counter() - t0
 
     run(2)
-    t_short, t_long = run(2), run(8)
+    t_short, t_long = min(run(2), run(2)), min(run(8), run(8))
     per_iter = (t_long - t_short) / 6
     ips = batch / per_iter
     print(json.dumps({
@@ -97,18 +106,21 @@ def bench_config5(batch):
         tok.params)
 
     frames = 65
-    video = jnp.asarray(np.random.default_rng(0).uniform(
-        size=(batch, frames, 256, 256, 3)).astype(np.float32))
+    rng = np.random.default_rng(0)
 
     def run():
+        # fresh video per run defeats the tunnel's dispatch memoization; the
+        # np.asarray fetch is the reliable sync (see bench.py)
+        video = jnp.asarray(rng.uniform(
+            size=(batch, frames, 256, 256, 3)).astype(np.float32))
         t0 = time.perf_counter()
         codes = tokenize_streaming(tok, video, chunk_frames=16)
         recon = decode_streaming(tok, codes)
-        jax.block_until_ready(recon)
-        return time.perf_counter() - t0, recon
+        float(np.asarray(recon[0, 0, 0, 0, :1]).astype(np.float32)[0])
+        return time.perf_counter() - t0, recon, video
 
     run()  # compile both chunked programs
-    elapsed, recon = run()
+    elapsed, recon, video = run()
     assert recon.shape == video.shape, (recon.shape, video.shape)
     fps = batch * frames / elapsed
     print(json.dumps({
@@ -125,6 +137,14 @@ def main():
     parser.add_argument('--which', default='all', choices=['4', '5', 'all'])
     parser.add_argument('--batch', type=int, default=None)
     args = parser.parse_args()
+
+    # persistent compile cache: each streaming run builds a fresh session
+    # (fresh jit closures), so without this every run pays ~6 full compiles
+    # — which WAS the measured "throughput" through the remote tunnel
+    import jax
+    cache_dir = pathlib.Path(__file__).resolve().parent.parent / '.jax_cache'
+    jax.config.update('jax_compilation_cache_dir', str(cache_dir))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     if args.which in ('4', 'all'):
         bench_config4(args.batch or 64)

@@ -37,6 +37,8 @@ def main():
     parser.add_argument('--no-gan', action='store_true')
     parser.add_argument('--no-vgg', action='store_true')
     parser.add_argument('--profile', default=None)
+    parser.add_argument('--lane-pack', default='false',
+                        choices=['false', 'encoder', 'true'])
     args = parser.parse_args()
 
     import jax
@@ -58,7 +60,15 @@ def main():
         perceptual_loss_weight=0.0 if args.no_vgg else 0.1,
     )
     kwargs['remat'] = remat
+    kwargs['lane_pack'] = {'false': False, 'encoder': 'encoder',
+                           'true': True}[args.lane_pack]
     model = VideoTokenizer(**kwargs, seed=0)
+
+    def sync():
+        # block_until_ready is unreliable through the remote-TPU tunnel
+        # (returns before execution drains); force a real host fetch
+        leaf = jax.tree.leaves(trainer.model.params)[0]
+        float(np.asarray(leaf.reshape(-1)[:1]).astype(np.float32)[0])
 
     class SyntheticVideos:
         def __init__(self, n=64):
@@ -92,10 +102,11 @@ def main():
 
     dl_iter = cycle(trainer.dataloader)
 
-    # warmup: compile both gen variants (with/without GP cadence)
-    for _ in range(2):
+    # warmup: compile both gen variants (with/without GP cadence — the R1
+    # penalty fires every 4th step, so 4 warm steps cover both programs)
+    for _ in range(4):
         trainer.train_step(dl_iter)
-    jax.block_until_ready(trainer.model.params)
+    sync()
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -103,7 +114,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.steps):
         trainer.train_step(dl_iter)
-    jax.block_until_ready(trainer.model.params)
+    sync()
     elapsed = time.perf_counter() - t0
 
     if args.profile:
