@@ -228,10 +228,15 @@ class DataLoader:
             if len(idx) == 0:
                 continue
             if self.num_shards > 1:
+                if len(idx) % self.num_shards:
+                    # partial tail batch (drop_last=False): pad by repeating
+                    # leading samples so every shard sees the same count and
+                    # no sample is silently dropped (DistributedSampler-style
+                    # padding — a few tail samples appear twice that epoch)
+                    pad = -len(idx) % self.num_shards
+                    idx = np.concatenate([idx, idx[:pad]])
                 per = len(idx) // self.num_shards
                 idx = idx[self.shard_id * per:(self.shard_id + 1) * per]
-                if len(idx) == 0:
-                    continue
             yield self.collate_fn([self.dataset[int(i)] for i in idx])
 
     def __iter__(self):

@@ -108,6 +108,12 @@ class TokenizerConfig:
     # extension (north-star; reference README TODO): axial rotary positions in
     # space/time attention layers
     use_rotary_pos_emb: bool = False
+    # streaming: bound the attend_time kv cache to this many past LATENT
+    # frames (None = unbounded/exact). Exact whenever the window covers the
+    # stream (ops/attention.py Attention.kv_window for the precise boundary);
+    # also makes chunk shapes static once the cache hits the cap, so the
+    # per-chunk jit stops recompiling on a long stream.
+    streaming_kv_window: Optional[int] = None
     # reference quirk #10 (discovered via the CPU oracle,
     # tests/fixtures/generate.py): the reference APPENDS a final LayerNorm to
     # encoder_layers (magvit2_pytorch.py:1322-1326) but its encode loop zips
@@ -291,7 +297,8 @@ def _build_layer(spec: LayerSpec, config: TokenizerConfig, name: str, encoder: b
                 dim=dim, dim_cond=dc, dim_head=config.attn_dim_head,
                 heads=config.attn_heads, causal=True, backend=backend,
                 dropout=config.attn_dropout,
-                use_rotary=config.use_rotary_pos_emb))),
+                use_rotary=config.use_rotary_pos_emb,
+                kv_window=config.streaming_kv_window))),
             Residual(TokenShift(FeedForward(dim, dim_cond=dc))),
         ], name=name)
 

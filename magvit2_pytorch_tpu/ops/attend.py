@@ -95,6 +95,14 @@ def attend(
     assert not (backend == 'flash' and exists(prev_attn)), (
         'residual attention not compatible with flash attention')
     if exists(attn_bias) or exists(prev_attn):
+        if backend == 'flash':
+            # the Pallas kernel has no bias tile yet; an explicit flash
+            # request must not silently lose the kernel (ADVICE r2) — fail
+            # loudly so the caller can drop the bias or switch backends.
+            raise NotImplementedError(
+                "backend='flash' with attn_bias is not supported by the "
+                "Pallas kernel yet — use backend='xla' (or 'auto', which "
+                 'routes biased attention to XLA automatically)')
         backend = 'xla'
 
     if backend == 'flash' and not exists(mask):

@@ -37,6 +37,14 @@ class Attention(nn.Module):
     use_rotary: bool = False
     dropout: float = 0.0   # attention-prob dropout (reference attn_dropout);
                            # active only when a 'dropout' rng is provided
+    # streaming-mode kv-cache bound (SURVEY §5.7 long-video streaming): keep
+    # at most this many past tokens in the cache. None = unbounded (exact,
+    # but the cache grows with every chunk — a genuinely long stream
+    # eventually OOMs on it). Exactness boundary: each chunk attends to the
+    # last <= kv_window cached tokens plus itself, so results are bit-exact
+    # vs the whole-clip forward whenever kv_window >= total_len - chunk_len;
+    # beyond that it is sliding-window attention (memory KV always visible).
+    kv_window: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask=None, cond=None, streaming: bool = False,
@@ -69,17 +77,24 @@ class Attention(nn.Module):
                 lambda: jnp.zeros((2, b, 0, self.heads, self.dim_head),
                                   x.dtype))
             if self.use_rotary:
-                # rotate with absolute positions offset by the cached length;
-                # cached keys were rotated when first seen
+                # rotate with absolute positions offset by the total stream
+                # length so far (NOT the cache length — a kv_window-capped
+                # cache is shorter than the history); cached keys were
+                # rotated when first seen
                 from magvit2_pytorch_tpu.ops.rotary import apply_rope, rope_angles
-                offset = cache.value.shape[2]
+                pos = self.variable(
+                    'cache', 'stream_pos', lambda: jnp.zeros((), jnp.int32))
                 cos, sin = rope_angles(
-                    jnp.arange(offset, offset + n), self.dim_head)
+                    jnp.arange(n) + pos.value, self.dim_head)
+                pos.value = pos.value + n
                 q = apply_rope(q, cos, sin)
                 k = apply_rope(k, cos, sin)
             k = jnp.concatenate([cache.value[0].astype(x.dtype), k], axis=1)
             v = jnp.concatenate([cache.value[1].astype(x.dtype), v], axis=1)
-            cache.value = jnp.stack([k, v])
+            new_cache = jnp.stack([k, v])
+            if exists(self.kv_window):
+                new_cache = new_cache[:, :, -self.kv_window:]
+            cache.value = new_cache
         elif self.use_rotary:
             from magvit2_pytorch_tpu.ops.rotary import apply_rope, rope_angles
             if rope is None:

@@ -25,11 +25,31 @@ exercises the multi-host trainer without a pod.
 
 from __future__ import annotations
 
+import glob
+import os
+import warnings
 from typing import Optional
 
 import jax
 
 _initialized = False
+
+
+def _tpu_chips_visible() -> bool:
+    """Best-effort TPU presence probe that does NOT initialize any XLA
+    backend (``jax.default_backend()`` would, after which
+    ``jax.distributed.initialize`` permanently refuses to run — it must be
+    the first JAX runtime call in the process)."""
+    platforms = os.environ.get('JAX_PLATFORMS', '')
+    if platforms and 'tpu' not in platforms:
+        return False
+    # direct-attached TPU device nodes (GCE TPU VMs expose one per chip)
+    if glob.glob('/dev/accel*') or glob.glob('/dev/vfio/*'):
+        return True
+    # pod-slice runtime environment markers set by the TPU runtime / GKE
+    tpu_env_markers = ('TPU_WORKER_HOSTNAMES', 'TPU_SKIP_MDS_QUERY',
+                       'CLOUD_TPU_TASK_ID', 'TPU_NAME')
+    return any(m in os.environ for m in tpu_env_markers)
 
 
 def initialize_distributed(
@@ -63,9 +83,24 @@ def initialize_distributed(
     if coordinator_address is None and num_processes is None:
         # single process or TPU auto-detection; only call into the runtime
         # when it can actually auto-detect (TPU) — otherwise stay local.
-        if jax.default_backend() != 'tpu':
+        # The probe must not initialize an XLA backend (that would make
+        # jax.distributed.initialize raise unconditionally), so it reads
+        # device nodes / env markers instead of jax.default_backend().
+        if not _tpu_chips_visible():
             return
-        jax.distributed.initialize(**kwargs)
+        try:
+            jax.distributed.initialize(**kwargs)
+        except (RuntimeError, ValueError) as e:
+            # single-chip / single-process TPU environments have no
+            # coordinator to auto-detect — stay local rather than crash the
+            # common one-host case. A genuinely-multi-host launch that lands
+            # here is misconfigured; surface the reason.
+            warnings.warn(
+                f'initialize_distributed(): auto-detection failed ({e}); '
+                'continuing single-process. On a pod slice, pass '
+                'coordinator_address/num_processes/process_id explicitly.',
+                stacklevel=2)
+            return
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -163,12 +163,26 @@ class VideoTokenizerTrainer:
         self.dataloader = DataLoader(
             dataset, batch_size=batch_size, shuffle=True, drop_last=True,
             **shard_kwargs)
-        # validation tolerates small splits; batch stays process-divisible
+        # validation tolerates small splits. Single-process: any size works
+        # (_put_global falls back to an unsharded batch). Multi-process: the
+        # global valid batch must divide BOTH the data-parallel extent
+        # (dcn*data — _put_global's sharding contract) and the process count
+        # (the sharded loader's contract) — round down to a multiple of their
+        # lcm, and skip validation entirely when the split is too small to
+        # shard (all processes compute the same vbs, so they skip together).
+        import math
         vbs = min(batch_size, len(valid_dataset))
-        vbs = max(self._n_proc, vbs - vbs % self._n_proc)
+        if self._n_proc > 1:
+            unit = math.lcm(n_data, self._n_proc)
+            vbs -= vbs % unit
+        self._valid_enabled = vbs > 0
+        if not self._valid_enabled:
+            self.print(
+                f'valid split of {len(valid_dataset)} samples is smaller than '
+                f'the data-parallel extent {n_data} — validation disabled')
         self.valid_dataloader = DataLoader(
-            valid_dataset, batch_size=vbs, shuffle=True, drop_last=True,
-            **shard_kwargs)
+            valid_dataset, batch_size=max(vbs, 1), shuffle=True,
+            drop_last=True, **shard_kwargs) if self._valid_enabled else None
 
         # optimizers (reference trainer.py:154-171; warmup folded into the
         # optax schedule, clip folded into the chain)
@@ -183,12 +197,33 @@ class VideoTokenizerTrainer:
         self.discr_optimizer = None
         self.discr_opt_state = None
         if self.has_gan:
-            self.discr_optimizer = get_optimizer(
+            # the reference creates ONE optimizer per discriminator (main +
+            # each multiscale, trainer.py:156-157,209-217) — under
+            # max_grad_norm that means each discriminator is clipped by its
+            # OWN global norm. optax.multi_transform with one transform per
+            # subtree reproduces that; a single shared chain would couple the
+            # clip across discriminators.
+            discr_tree = self._discr_tree()
+            make_opt = lambda: get_optimizer(
                 lr=learning_rate, warmup_steps=warmup_steps,
                 max_grad_norm=max_grad_norm, scheduler=scheduler,
                 **optimizer_kwargs)
-            self.discr_opt_state = self.discr_optimizer.init(
-                self._discr_tree())
+            n_ms = len(model.multiscale_params)
+            if n_ms:
+                transforms = {'discr': make_opt()}
+                transforms.update({f'ms{i}': make_opt() for i in range(n_ms)})
+                labels = {
+                    'discr': jax.tree.map(lambda _: 'discr',
+                                          discr_tree['discr']),
+                    'multiscale': tuple(
+                        jax.tree.map(lambda _, i=i: f'ms{i}', p)
+                        for i, p in enumerate(discr_tree['multiscale'])),
+                }
+                self.discr_optimizer = optax.multi_transform(
+                    transforms, labels)
+            else:
+                self.discr_optimizer = make_opt()
+            self.discr_opt_state = self.discr_optimizer.init(discr_tree)
 
         # EMA (reference trainer.py:108-113; replicated pytree, not rank-0)
         ema_kwargs = default(ema_kwargs, {})
@@ -567,17 +602,23 @@ class VideoTokenizerTrainer:
             valid_videos.append(np.asarray(valid_video))
             recon_videos.append(np.asarray(ema_recon))
 
-        # north-star metrics (BASELINE.json): recon PSNR + codebook utilization
+        # north-star metrics (BASELINE.json): recon PSNR + codebook
+        # utilization, aggregated over EVERY validation micro-batch (matching
+        # how the recon losses above are averaged — a single micro-batch made
+        # these needlessly noisy)
         from magvit2_pytorch_tpu.training.metrics import (
             codebook_utilization,
             psnr,
         )
-        last_valid = jnp.asarray(valid_videos[-1])
-        last_recon = jnp.clip(jnp.asarray(recon_videos[-1]), 0, 1)
-        valid_psnr = float(psnr(last_valid, last_recon))
-        codes = ema_model.tokenize(last_valid)
+        valid_psnr = 0.0
+        all_codes = []
+        for v, r in zip(valid_videos, recon_videos):
+            v, r = jnp.asarray(v), jnp.clip(jnp.asarray(r), 0, 1)
+            valid_psnr += float(psnr(v, r)) / len(valid_videos)
+            all_codes.append(np.asarray(ema_model.tokenize(v)).reshape(-1))
         utilization = float(codebook_utilization(
-            codes, ema_model.codebook_size))
+            jnp.concatenate([jnp.asarray(c) for c in all_codes]),
+            ema_model.codebook_size))
 
         self.log(valid_recon_loss=recon_loss,
                  valid_ema_recon_loss=ema_recon_loss,
@@ -627,7 +668,8 @@ class VideoTokenizerTrainer:
                 pass
 
         dl_iter = cycle(self.dataloader)
-        valid_dl_iter = cycle(self.valid_dataloader)
+        valid_dl_iter = (cycle(self.valid_dataloader)
+                         if self._valid_enabled else None)
 
         while self.step < self.num_train_steps:
             if stop_requested['flag']:
@@ -650,7 +692,7 @@ class VideoTokenizerTrainer:
             if exists(self.profile_dir) and step == 4:
                 jax.profiler.stop_trace()
 
-            if not (step % self.validate_every_step):
+            if not (step % self.validate_every_step) and self._valid_enabled:
                 self.valid_step(valid_dl_iter)
 
             if not (step % self.checkpoint_every_step):

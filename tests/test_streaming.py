@@ -192,3 +192,57 @@ def test_streaming_cond_required_at_construction():
     )
     with pytest.raises(AssertionError, match='cond'):
         StreamingSession(tok)
+
+
+def _kv_window_tok(window):
+    return VideoTokenizer(
+        image_size=8,
+        init_dim=8,
+        codebook_size=64,
+        layers=('residual', 'attend_time', ('compress_time', 12)),
+        attn_dim_head=8,
+        attn_heads=2,
+        use_gan=False,
+        perceptual_loss_weight=0.0,
+        flash_attn=False,
+        streaming_kv_window=window,
+        seed=0,
+    )
+
+
+def test_streaming_kv_window_covering_is_exact():
+    """kv_window >= stream length: bounded cache is bit-exact vs whole-clip
+    (the documented exactness boundary of Attention.kv_window)."""
+    tok = _kv_window_tok(window=64)
+    rng = np.random.default_rng(7)
+    video = rng.uniform(size=(1, 9, 8, 8, 3)).astype(np.float32)
+    codes_full = np.asarray(tok.tokenize(video))
+    codes_stream = np.asarray(tokenize_streaming(tok, video, chunk_frames=2))
+    np.testing.assert_array_equal(codes_stream, codes_full)
+
+
+def test_streaming_kv_window_bounds_cache():
+    """Small kv_window: the attend_time cache stays capped at the window (the
+    long-video memory bound) and the early frames still match the full pass
+    (they saw full history when produced)."""
+    import jax
+
+    tok = _kv_window_tok(window=2)
+    rng = np.random.default_rng(8)
+    video = rng.uniform(size=(1, 13, 8, 8, 3)).astype(np.float32)
+
+    session = StreamingSession(tok)
+    chunks = [video[:, :3], video[:, 3:7], video[:, 7:11], video[:, 11:13]]
+    outs = [np.asarray(session.encode_chunk(c)) for c in chunks]
+
+    kv_shapes = [tuple(leaf.shape) for path, leaf in
+                 jax.tree_util.tree_leaves_with_path(session._enc_cache)
+                 if 'kv_state' in jax.tree_util.keystr(path)]
+    assert kv_shapes, 'expected an attend_time kv cache'
+    assert all(s[2] <= 2 for s in kv_shapes), kv_shapes
+
+    codes_full = np.asarray(tok.tokenize(video))
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == codes_full.shape
+    # the first chunk's codes never see truncation — exact by construction
+    np.testing.assert_array_equal(got[:, :1], codes_full[:, :1])

@@ -175,3 +175,47 @@ def test_tensor_parallel_mesh_training(tmp_path):
     assert np.isfinite(m['total_loss'])
     m2 = trainer.train_step(cycle(trainer.dataloader))
     assert np.isfinite(m2['total_loss'])
+
+
+def test_per_discriminator_clip_isolation(tmp_path):
+    """Reference GAN optimizer parity (VERDICT r2 #7): the reference builds
+    ONE optimizer per discriminator (reference trainer.py:156-157,209-217),
+    so with max_grad_norm a huge multiscale gradient must NOT shrink the main
+    discriminator's update. A single shared clip-chain would scale the main
+    discriminator's gradients by max_norm/global_norm ~ 0 and Adam's eps
+    would crush its update."""
+    import jax
+    import jax.numpy as jnp
+
+    model = _model(
+        use_gan=True,
+        multiscale_discrs=(dict(dim=4, max_dim=16, downscale_factor=2),),
+    )
+    trainer = _trainer(model, tmp_path, max_grad_norm=1.0)
+    opt = trainer.discr_optimizer
+    tree = trainer._discr_tree()
+
+    def updates_for(ms_scale):
+        grads = {
+            'discr': jax.tree.map(lambda p: jnp.full_like(p, 1e-2),
+                                  tree['discr']),
+            'multiscale': tuple(
+                jax.tree.map(lambda p: jnp.full_like(p, ms_scale), p)
+                for p in tree['multiscale']),
+        }
+        state = opt.init(tree)
+        updates, _ = opt.update(grads, state, tree)
+        return updates
+
+    small = updates_for(1e-2)
+    huge = updates_for(1e8)
+
+    # main-discr update identical whether the multiscale grads are tiny or
+    # enormous — per-discriminator clipping
+    for a, b in zip(jax.tree.leaves(small['discr']),
+                    jax.tree.leaves(huge['discr'])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+    # and the huge multiscale grad was itself clipped, not applied raw
+    ms_leaves = jax.tree.leaves(huge['multiscale'])
+    assert max(float(np.abs(np.asarray(l)).max()) for l in ms_leaves) < 1.0
