@@ -22,20 +22,43 @@ from magvit2_pytorch_tpu.utils.init import torch_bias_init, torch_kernel_init
 
 
 class Linear(nn.Module):
-    """Dense layer with torch nn.Linear's default init distributions."""
+    """Dense layer with torch nn.Linear's default init distributions (or
+    explicit ``kernel_init`` / ``bias_init`` overrides — used where the
+    reference customizes an nn.Conv's init, e.g. SqueezeExcite's gate head)."""
 
     features: int
     use_bias: bool = True
+    kernel_init: Optional[object] = None
+    bias_init: Optional[object] = None
 
     @nn.compact
+    def _params(self, fan_in: int):
+        """Create/fetch this layer's params without running compute — lets
+        fused Pallas kernels (ops/pallas/residual_unit.py) pull child params
+        while keeping the param tree identical to the called path. This is
+        the module's single compact method; ``__call__`` is a plain method so
+        either entry point works (once per instance per trace)."""
+        kernel = self.param('kernel', default(self.kernel_init, torch_kernel_init),
+                            (fan_in, self.features))
+        bias = self.param(
+            'bias', default(self.bias_init, torch_bias_init(fan_in)),
+            (self.features,)) if self.use_bias else None
+        return kernel, bias
+
     def __call__(self, x):
-        fan_in = x.shape[-1]
-        kernel = self.param('kernel', torch_kernel_init, (fan_in, self.features))
+        kernel, bias = self._params(x.shape[-1])
         out = jnp.einsum('...i,io->...o', x, kernel.astype(x.dtype))
-        if self.use_bias:
-            bias = self.param('bias', torch_bias_init(fan_in), (self.features,))
+        if bias is not None:
             out = out + bias.astype(x.dtype)
         return out
+
+
+def _linear_apply(x, kernel, bias):
+    """Functional core of ``Linear`` (params passed explicitly)."""
+    out = jnp.einsum('...i,io->...o', x, kernel.astype(x.dtype))
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
 
 
 def leaky_relu(x, negative_slope: float = 0.1):
@@ -165,9 +188,25 @@ class SqueezeExcite(nn.Module):
     init_bias: float = -10.0
 
     @nn.compact
-    def __call__(self, x, w_blocked: bool = False):
+    def _params(self, c_in: int):
+        """All params of the block, without compute (see Linear._params):
+        ``(to_k_k, to_k_b), (gate_in_k, gate_in_b), (gate_out_k, gate_out_b)``.
+        Child construction mirrors ``__call__`` exactly so the param tree is
+        identical whichever entry point runs."""
         dim_out = default(self.dim_out, self.dim)
         dim_hidden = max(self.dim_hidden_min, dim_out // 2)
+        to_k = Linear(1, name='to_k')._params(c_in)
+        gate_in = Linear(dim_hidden, name='gate_in')._params(c_in)
+        gate_out = Linear(
+            dim_out,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.constant(self.init_bias),
+            name='gate_out')._params(dim_hidden)
+        return to_k, gate_in, gate_out
+
+    def __call__(self, x, w_blocked: bool = False):
+        c_in = x.shape[-1] // 2 if w_blocked else x.shape[-1]
+        to_k, gate_in, gate_out = self._params(c_in)
 
         if w_blocked:
             # lane packing (ops/conv.py): x is (..., h, w/2, 2c) with channel
@@ -175,10 +214,11 @@ class SqueezeExcite(nn.Module):
             # (c stays minor); softmax then runs jointly over (h, w/2, phase)
             # == the original (h, w) positions, and the context contraction
             # sums over the same set — numerics match the unblocked path.
-            assert dim_out == self.dim, 'blocked SE requires dim_out == dim'
+            assert default(self.dim_out, self.dim) == self.dim, (
+                'blocked SE requires dim_out == dim')
             c = x.shape[-1] // 2
             xv = x.reshape(*x.shape[:-1], 2, c)
-            k = Linear(1, name='to_k')(xv).astype(jnp.float32)[..., 0]
+            k = _linear_apply(xv, *to_k).astype(jnp.float32)[..., 0]
             sp_axes = (-3, -2, -1)  # (h, w/2, phase)
             k = k - jnp.max(k, axis=sp_axes, keepdims=True)
             attn = jnp.exp(k)
@@ -186,25 +226,17 @@ class SqueezeExcite(nn.Module):
             context = _se_context(xv, attn.astype(x.dtype), 3)
             context = context[..., None, None, :].astype(x.dtype)
 
-            g = Linear(dim_hidden, name='gate_in')(context)
-            g = leaky_relu(g)
-            gate_out = nn.Dense(
-                dim_out,
-                kernel_init=nn.initializers.zeros,
-                bias_init=nn.initializers.constant(self.init_bias),
-                name='gate_out',
-            )(g)
-            gates = jax.nn.sigmoid(gate_out)              # (..., 1, 1, c)
+            g = leaky_relu(_linear_apply(context, *gate_in))
+            gates = jax.nn.sigmoid(_linear_apply(g, *gate_out))
             return jnp.concatenate([gates, gates], axis=-1) * x
 
-        is_video = x.ndim == 5
         sp_axes = (-3, -2)  # (h, w); per-frame context for video
 
         # attention logits over space: 1x1 conv -> softmax over (h, w),
         # computed IN the conv layout with keepdims reductions — flattening to
         # (bt, hw, c) forced whole-tensor relayouts at the largest feature
         # maps (~10% of roundtrip time on v5e)
-        k = Linear(1, name='to_k')(x).astype(jnp.float32)  # (..., h, w, 1)
+        k = _linear_apply(x, *to_k).astype(jnp.float32)   # (..., h, w, 1)
         k = k - jnp.max(k, axis=sp_axes, keepdims=True)
         attn = jnp.exp(k)
         attn = attn / jnp.sum(attn, axis=sp_axes, keepdims=True)
@@ -215,15 +247,8 @@ class SqueezeExcite(nn.Module):
         context = _se_context(x, attn[..., 0].astype(x.dtype), 2)
         context = context[..., None, None, :].astype(x.dtype)  # (...,1,1,c)
 
-        g = Linear(dim_hidden, name='gate_in')(context)
-        g = leaky_relu(g)
-        gate_out = nn.Dense(
-            dim_out,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.constant(self.init_bias),
-            name='gate_out',
-        )(g)
-        gates = jax.nn.sigmoid(gate_out)                  # (..., 1, 1, c)
+        g = leaky_relu(_linear_apply(context, *gate_in))
+        gates = jax.nn.sigmoid(_linear_apply(g, *gate_out))  # (..., 1, 1, c)
 
         return gates * x
 

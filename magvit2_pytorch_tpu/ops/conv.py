@@ -156,6 +156,21 @@ class CausalConv3d(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
+    def _params(self, c_in: int, cache_init=None):
+        """Params (and, when ``cache_init`` is given, the streaming cache
+        variable) without compute — single compact method; ``__call__`` is
+        plain. Lets the fused residual-unit kernel pull this conv's params
+        directly (ops/pallas/residual_unit.py)."""
+        kt, kh, kw = cast_tuple(self.kernel_size, 3)
+        kernel = self.param(
+            'kernel', torch_kernel_init, (kt, kh, kw, c_in, self.features))
+        bias = self.param(
+            'bias', torch_bias_init(kt * kh * kw * c_in), (self.features,)
+        ) if self.use_bias else None
+        cache = (self.variable('cache', 'time_state', cache_init)
+                 if cache_init is not None else None)
+        return kernel, bias, cache
+
     def __call__(self, x, streaming: bool = False,
                  w_blocked_in: bool = False, w_blocked_out: bool = False):
         """``streaming=True`` carries the causal time history in a flax
@@ -180,13 +195,14 @@ class CausalConv3d(nn.Module):
 
         c_raw = x.shape[-1]
         c_in = c_raw // 2 if w_blocked_in else c_raw
-        kernel = self.param(
-            'kernel', torch_kernel_init, (kt, kh, kw, c_in, self.features))
-        bias = self.param(
-            'bias', torch_bias_init(kt * kh * kw * c_in), (self.features,)
-        ) if self.use_bias else None
 
         dtype = default(self.dtype, x.dtype)
+        cache_init = None
+        if streaming and time_pad > 0:
+            b, _, h, w, c_last = x.shape
+            cache_init = (lambda: jnp.zeros(
+                (b, time_pad, h, w, c_last), dtype))
+        kernel, bias, cache = self._params(c_in, cache_init=cache_init)
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
 
@@ -207,10 +223,6 @@ class CausalConv3d(nn.Module):
             assert self.pad_mode in ('constant', 'zeros'), (
                 'streaming requires zero pad_mode (the zero-initialized cache '
                 'IS the causal pad)')
-            b, _, h, w, _ = x.shape
-            cache = self.variable(
-                'cache', 'time_state',
-                lambda: jnp.zeros((b, time_pad, h, w, x.shape[-1]), dtype))
             x = jnp.concatenate([cache.value.astype(dtype), x], axis=1)
             cache.value = x[:, -time_pad:]
             padding = [(0, 0), (hp, hp), (wplo, wphi)]
@@ -287,9 +299,17 @@ class Conv3d1x1(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
+    def _params(self, c_in: int):
+        """Params without compute (see CausalConv3d._params)."""
+        kernel = self.param('kernel', torch_kernel_init, (c_in, self.features))
+        bias = self.param(
+            'bias', torch_bias_init(c_in), (self.features,)
+        ) if self.use_bias else None
+        return kernel, bias
+
     def __call__(self, x, w_blocked: bool = False):
         c_in = x.shape[-1] // 2 if w_blocked else x.shape[-1]
-        kernel = self.param('kernel', torch_kernel_init, (c_in, self.features))
+        kernel, bias = self._params(c_in)
         dtype = default(self.dtype, x.dtype)
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
@@ -308,8 +328,7 @@ class Conv3d1x1(nn.Module):
             padding=[(0, 0)] * 3,
             dimension_numbers=DN_3D,
         )
-        if self.use_bias:
-            bias = self.param('bias', torch_bias_init(c_in), (self.features,))
+        if bias is not None:
             if w_blocked:
                 bias = jnp.concatenate([bias, bias])
             out = out + bias.astype(dtype)

@@ -229,8 +229,37 @@ class _ResidualUnitInner(nn.Module):
     kernel_size: object
     pad_mode: str = 'constant'
 
+    def _use_fused(self, x, streaming: bool, w_blocked: bool) -> bool:
+        from magvit2_pytorch_tpu.ops.pallas.residual_unit import fused_eligible
+        if self.pad_mode not in ('constant', 'zeros'):
+            return False    # the ring's zero pad IS the conv pad
+        return fused_eligible(x, self.dim, self.kernel_size, streaming,
+                              w_blocked)
+
     @nn.compact
     def __call__(self, x, streaming: bool = False, w_blocked: bool = False):
+        if self._use_fused(x, streaming, w_blocked):
+            # Fused Pallas path (ops/pallas/residual_unit.py): whole unit —
+            # INCLUDING the +x residual — in one VMEM pass. Child modules
+            # are constructed identically so the param tree matches the
+            # unfused path (checkpoints are interchangeable). From the
+            # default unpacked layout the packed view is a cheap reshape.
+            from magvit2_pytorch_tpu.ops.pallas.residual_unit import (
+                fused_residual_unit)
+            conv_k, conv_b, _ = CausalConv3d(
+                self.dim, self.kernel_size, pad_mode=self.pad_mode,
+                name='conv')._params(self.dim)
+            pw_k, pw_b = Conv3d1x1(
+                self.dim, name='conv_pointwise')._params(self.dim)
+            (tok_k, tok_b), (gi_k, gi_b), (go_k, go_b) = SqueezeExcite(
+                self.dim, name='se')._params(self.dim)
+            xb = x if w_blocked else x.reshape(
+                *x.shape[:3], x.shape[3] // 2, 2 * x.shape[4])
+            out = fused_residual_unit(
+                xb, conv_k, conv_b, pw_k, pw_b, tok_k, tok_b,
+                gi_k, gi_b, go_k, go_b,
+                jax.default_backend() != 'tpu')   # interpret off-TPU (tests)
+            return out if w_blocked else out.reshape(x.shape)
         x = CausalConv3d(self.dim, self.kernel_size, pad_mode=self.pad_mode,
                          name='conv')(x, streaming=streaming,
                                       w_blocked_in=w_blocked,
@@ -241,10 +270,26 @@ class _ResidualUnitInner(nn.Module):
         return SqueezeExcite(self.dim, name='se')(x, w_blocked=w_blocked)
 
 
+class _ResidualUnitOuter(nn.Module):
+    """`Residual` twin for ResidualUnit that knows the fused Pallas kernel
+    already applied the +x inside VMEM (saves one HBM round-trip of the
+    largest activation). Param scope matches `Residual` (child named 'fn')."""
+
+    fn: _ResidualUnitInner
+
+    @nn.compact
+    def __call__(self, x, streaming: bool = False, w_blocked: bool = False):
+        out = self.fn(x, streaming=streaming, w_blocked=w_blocked)
+        if self.fn._use_fused(x, streaming, w_blocked):
+            return out
+        return out + x
+
+
 def ResidualUnit(dim, kernel_size, pad_mode: str = 'constant', name=None):
     """Residual( CausalConv3d -> ELU -> 1x1x1 conv -> ELU -> SqueezeExcite )
     (reference magvit2_pytorch.py:930-944)."""
-    return Residual(_ResidualUnitInner(dim, kernel_size, pad_mode), name=name)
+    return _ResidualUnitOuter(_ResidualUnitInner(dim, kernel_size, pad_mode),
+                              name=name)
 
 
 class ResidualUnitMod(nn.Module):
