@@ -21,6 +21,7 @@ copy_for_eval``. Differences (all TPU-native by design):
 from __future__ import annotations
 
 import dataclasses
+import pickle
 from pathlib import Path
 from typing import Optional
 
@@ -551,13 +552,48 @@ class VideoTokenizer:
             else:
                 import torch
                 pkg = torch.load(p, map_location='cpu', weights_only=True)
-                # reference .save() packs {'model': state_dict, 'config', ...}
-                # (magvit2_pytorch.py:1495-1505); accept both layouts
-                state = pkg.get('model', pkg) if isinstance(pkg, dict) else pkg
+                # reference .save() packs {'model_state_dict': ..., 'config',
+                # 'version'} (magvit2_pytorch.py:1495-1505); also accept a
+                # bare state_dict or trainer-style {'model': ...}
+                if isinstance(pkg, dict):
+                    state = pkg.get('model_state_dict', pkg.get('model', pkg))
+                else:
+                    state = pkg
         params = load_torch_tokenizer_state_dict(self.config, state,
                                                  strict=strict)
         self.params = jax.tree.map(jnp.asarray, params)
         self._jit_cache = {}
+
+    @classmethod
+    def init_and_load_from_torch(cls, path, strict: bool = True, **overrides):
+        """One-call import of a reference ``.pt`` package: parse the embedded
+        pickled constructor config (reference ``init_and_load_from``,
+        magvit2_pytorch.py:1447-1458), map it to ``TokenizerConfig`` kwargs,
+        construct, and convert every generator weight.
+
+        ``overrides`` are rebuild-side constructor kwargs applied on top of
+        the parsed config (e.g. ``remat=True``). Trust boundary: like the
+        reference's own loader this unpickles the checkpoint's config blob —
+        only load checkpoints you trust."""
+        import torch
+
+        from magvit2_pytorch_tpu.models.torch_import import (
+            torch_config_to_kwargs)
+
+        path = Path(path)
+        assert path.exists()
+        # weights_only=False: the config entry is a pickled locals() blob
+        # containing torch objects (nn.Identity, torchvision enums)
+        pkg = torch.load(str(path), map_location='cpu', weights_only=False)
+        assert isinstance(pkg, dict) and 'config' in pkg, (
+            'model configs were not found in this saved checkpoint')
+        kwargs = torch_config_to_kwargs(pickle.loads(pkg['config']))
+        kwargs.update(overrides)
+        tokenizer = cls(**kwargs)
+        state = pkg.get('model_state_dict', pkg.get('model'))
+        assert state is not None, 'no state_dict in checkpoint package'
+        tokenizer.load_torch_state_dict(state, strict=strict)
+        return tokenizer
 
     def load_vgg_weights(self, path):
         """Load torchvision vgg16 weights (a .pth state_dict or an .npz of the

@@ -298,3 +298,67 @@ def load_torch_tokenizer_state_dict(config, state: Mapping,
         assert not leftover, f'unconverted torch keys: {leftover}'
 
     return out
+
+
+def torch_config_to_kwargs(raw: Mapping) -> dict:
+    """Reference constructor locals (unpickled from a ``.pt`` package's
+    ``config`` entry, magvit2_pytorch.py:1095-1100, 1447-1458) ->
+    ``TokenizerConfig`` kwargs.
+
+    The reference pickles its raw ``locals()``, so a few values are torch
+    objects with no JSON analog; they are translated or validated here:
+
+    - ``lfq_activation``: only the default ``nn.Identity`` is supported (the
+      rebuild's LFQ has no activation hook) — anything else raises.
+    - ``vgg``: an inlined VGG module is dropped (the rebuild loads VGG
+      weights separately via ``load_vgg_weights``); a warning is emitted.
+    - ``vgg_weights``: a torchvision enum; recorded by ``.name`` for
+      provenance only.
+    - ``multiscale_discrs``: reference stores constructed Modules; the
+      rebuild's config wants kwargs dicts and the importer does not convert
+      discriminator weights, so non-empty values are dropped with a warning.
+
+    Unknown future keys are dropped with a warning (lenient by design: the
+    generator weight conversion downstream is strict, so a semantic mismatch
+    still fails loudly)."""
+    import dataclasses
+    import warnings
+
+    from magvit2_pytorch_tpu.models.tokenizer_module import TokenizerConfig
+
+    known = {f.name for f in dataclasses.fields(TokenizerConfig)}
+    out = {}
+    for key, val in dict(raw).items():
+        if key == 'lfq_activation':
+            if val is not None and type(val).__name__ != 'Identity':
+                raise ValueError(
+                    f'unsupported lfq_activation {type(val).__name__!r}: '
+                    'the rebuild supports only the default nn.Identity')
+            continue
+        if key == 'vgg':
+            if val is not None:
+                warnings.warn('dropping inlined vgg module from torch '
+                              'config; use load_vgg_weights() instead')
+            continue
+        if key == 'vgg_weights':
+            out[key] = getattr(val, 'name', None) if val is not None else None
+            continue
+        if key == 'multiscale_discrs':
+            if val:
+                warnings.warn('dropping constructed multiscale_discrs from '
+                              'torch config (discriminator weights are not '
+                              'imported)')
+            out[key] = tuple()
+            continue
+        if key == 'layers':
+            out[key] = tuple(
+                tuple(l) if isinstance(l, (list, tuple)) else l for l in val)
+            continue
+        if key == 'fsq_levels':
+            out[key] = tuple(val) if val is not None else None
+            continue
+        if key not in known:
+            warnings.warn(f'dropping unknown torch config key {key!r}')
+            continue
+        out[key] = val
+    return out

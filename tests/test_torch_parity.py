@@ -257,3 +257,46 @@ def test_reference_parity_margin_contract(name):
     # is asserted by the pinned-env test above
     assert np.quantile(diff, 0.999) <= 2e-2, np.quantile(diff, 0.999)
     assert diff.max() <= 1e-1, diff.max()
+
+
+# ------------------------------------------------- one-call .pt import
+
+@pytest.mark.skipif(not Path('/root/reference').exists(),
+                    reason='reference checkout unavailable')
+def test_init_and_load_from_torch_pt_package(tmp_path):
+    """Save a real reference `.pt` package via the reference's own .save()
+    (magvit2_pytorch.py:1495-1505) and import it with ONE call — config
+    parsed from the embedded pickle, weights converted — then check exact
+    code-index parity against the torch oracle."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent))
+    import torch
+    from fixtures.ref_loader import load_reference_module
+
+    ref = load_reference_module()
+    torch.manual_seed(0)
+    ref_tok = ref.VideoTokenizer(
+        image_size=32,
+        init_dim=16,
+        codebook_size=256,
+        layers=('residual', 'compress_space', ('consecutive_residual', 2)),
+        use_gan=False,
+        perceptual_loss_weight=0.0,
+        flash_attn=False,
+    )
+    ref_tok.eval()
+    pt = tmp_path / 'ref_tok.pt'
+    ref_tok.save(str(pt))
+
+    tok = VideoTokenizer.init_and_load_from_torch(pt)
+    assert tok.config.image_size == 32
+    assert tok.config.init_dim == 16
+    assert tok.config.codebook_size == 256
+    assert tok.config.use_gan is False
+
+    video_t = torch.randn(1, 3, 5, 32, 32)
+    with torch.no_grad():
+        codes_ref = ref_tok.tokenize(video_t)
+    video_j = jnp.asarray(_cl(video_t.numpy()))
+    codes = tok.tokenize(video_j)
+    np.testing.assert_array_equal(np.asarray(codes), codes_ref.numpy())
