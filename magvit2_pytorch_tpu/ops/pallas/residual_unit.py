@@ -260,16 +260,21 @@ def fused_eligible(x, dim: int, kernel_size, streaming: bool,
                    w_blocked: bool) -> bool:
     """Static gate for the fused kernel on the product path.
 
-    Eligible from BOTH layouts: lane-packed (w_blocked, (..., W/2, 2C)) and
-    the default unpacked (..., W, C) — the caller reshapes to the packed
-    view, which XLA lowers to a cheap (measured ~0.08 ms per 285 MB at
-    batch 8) relayout rather than the conv-layout conflicts full lane
-    packing used to hit."""
+    Engaged by default only from the lane-packed layout (w_blocked,
+    (..., W/2, 2C)), where neighbors already produce/consume the packed
+    form and the kernel is boundary-free. From the default unpacked layout
+    the kernel itself wins (8.0 vs 10.5 ms/apply at the flagship shape) but
+    the XLA relayouts at the pack boundary cost more than it saves when the
+    unit is isolated (measured: 1175 -> 1077 fps e2e at batch 8), so the
+    unpacked path requires opting in via MAGVIT2_TPU_FUSED_RU_UNPACKED=1."""
     import os
 
     from magvit2_pytorch_tpu.utils.helpers import cast_tuple
     if os.environ.get('MAGVIT2_TPU_NO_FUSED_RU', '') == '1':
         return False    # bench/debug kill switch
+    if not w_blocked and os.environ.get(
+            'MAGVIT2_TPU_FUSED_RU_UNPACKED', '') != '1':
+        return False
     if streaming:
         return False
     if cast_tuple(kernel_size, 3) != (3, 3, 3):

@@ -101,7 +101,15 @@ def tensor_parallel_shardings(params, mesh: Mesh,
     'pick a mesh, annotate shardings, let XLA insert collectives' recipe.
 
     Conservative by design: correctness is XLA's job; this only declares
-    placement. (The reference has no TP at all — SURVEY.md §2.9.)"""
+    placement. (The reference has no TP at all — SURVEY.md §2.9.)
+
+    Audited on the virtual mesh (tests/test_trainer.py::
+    test_tensor_parallel_matches_data_parallel): a dp2xtp2 generator step
+    produces the SAME parameter update as plain dp4 from identical state,
+    params really partition over 'tensor', and the compiled HLO carries the
+    extra collectives TP implies. NOT yet measured: step time on real
+    multi-chip hardware (this environment has one chip) — treat the
+    speed/placement quality, not the correctness, as experimental."""
     tp = mesh.shape['tensor']
 
     def spec_for(leaf):

@@ -219,3 +219,72 @@ def test_per_discriminator_clip_isolation(tmp_path):
     # and the huge multiscale grad was itself clipped, not applied raw
     ms_leaves = jax.tree.leaves(huge['multiscale'])
     assert max(float(np.abs(np.asarray(l)).max()) for l in ms_leaves) < 1.0
+
+
+def test_tensor_parallel_matches_data_parallel(tmp_path):
+    """TP honesty audit (round-2 review weak #5): the dp2xtp2 generator step
+    must (a) compute the SAME update as plain dp4 from identical state — TP
+    is a layout, not a different algorithm — and (b) actually partition:
+    its compiled HLO must contain more collectives than the pure-DP program
+    (GSPMD inserts the channel-dim all-gathers/reduces TP implies)."""
+    import jax
+
+    from magvit2_pytorch_tpu.parallel import make_mesh
+
+    def one_step(tensor_parallel, tag):
+        mesh = (make_mesh(data=2, tensor=2, devices=jax.devices()[:4])
+                if tensor_parallel else
+                make_mesh(data=4, devices=jax.devices()[:4]))
+        # dims large enough to pass tensor_parallel_shardings' min_elements
+        # gate (1<<14) — the default test model would shard NOTHING and make
+        # this audit vacuous
+        model = VideoTokenizer(
+            image_size=SIZE, init_dim=32, codebook_size=64,
+            layers=('residual', ('compress_space', 64)),
+            use_gan=False, perceptual_loss_weight=0.0, seed=0)
+        trainer = _trainer(model, tmp_path / tag, batch_size=4, mesh=mesh,
+                           tensor_parallel=tensor_parallel)
+        if tensor_parallel:
+            # at least one leaf must really be partitioned over 'tensor'
+            n_sharded = sum(
+                1 for leaf in jax.tree.leaves(model.params)
+                if 'tensor' in str(getattr(leaf, 'sharding', '')))
+            assert n_sharded > 0, 'TP placement sharded no parameters'
+        m = trainer.train_step(cycle(trainer.dataloader))
+        assert np.isfinite(m['total_loss'])
+        # compiled HLO of the jitted generator step, for the collective
+        # audit — lower with the trainer's REAL (sharded) arrays so GSPMD
+        # sees the actual placements (bare ShapeDtypeStructs would compile a
+        # single-device program with no collectives at all)
+        fn = trainer._gen_step_fn(False)
+        import jax.numpy as jnp
+
+        batches = trainer._put_global(
+            np.zeros((trainer.grad_accum_every, 4, FRAMES, SIZE, SIZE, 3),
+                     np.dtype(trainer.policy.compute_dtype)),
+            leading_none=1)
+        txt = fn.lower(
+            model.params, trainer.opt_state, trainer.ema_params,
+            model.discr_params, tuple(model.multiscale_params),
+            model.vgg_params, batches,
+            jax.random.PRNGKey(0), jnp.asarray(0, jnp.int32),
+        ).compile().as_text()
+        ncoll = sum(txt.count(op) for op in
+                    ('all-reduce', 'all-gather', 'reduce-scatter',
+                     'collective-permute'))
+        return jax.device_get(model.params), ncoll
+
+    params_dp, coll_dp = one_step(False, 'dp')
+    params_tp, coll_tp = one_step(True, 'tp')
+
+    # (a) same math: one optimizer step from identical state/batch/rng
+    flat_dp = jax.tree_util.tree_leaves_with_path(params_dp)
+    flat_tp = jax.tree_util.tree_leaves_with_path(params_tp)
+    for (pa, a), (_, b) in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=2e-5,
+            err_msg=f'dp4 vs dp2xtp2 diverged at {jax.tree_util.keystr(pa)}')
+
+    # (b) TP really partitions: strictly more collectives than pure DP
+    assert coll_tp > coll_dp, (coll_tp, coll_dp)

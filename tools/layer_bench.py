@@ -66,6 +66,7 @@ def main():
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--image-size', type=int, default=128)
     ap.add_argument('--frames', type=int, default=17)
+    ap.add_argument('--side', choices=['encoder', 'decoder', 'both'], default='both')
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
@@ -109,7 +110,8 @@ def main():
     print('|---|---|---|---|---|---|---|---|')
     total_ms = 0.0
     total_fl = 0.0
-    for side in ('encoder', 'decoder'):
+    sides = ('encoder', 'decoder') if args.side == 'both' else (args.side,)
+    for side in sides:
         for spec, (t, s, c) in walk(side == 'encoder'):
             mod = _build_layer(spec, config, f'lb_{side}_{spec.index}',
                                encoder=(side == 'encoder'))
