@@ -15,37 +15,73 @@ and the package's documented conventions. It serves two purposes:
 
 Assumed package semantics (each is a potential divergence point vs the real
 package; all are recorded here so any future access to the package can check
-them line by line):
+them line by line). Each entry carries an EVIDENCE tag (round-3 review
+item #10 — shrink the assumption surface; no new external material exists
+in this zero-egress image, so the tags grade what backs each assumption):
+
+  [paper]     pinned by the published algorithm (MagViT2 arXiv 2310.05737
+              §3.1; FSQ arXiv 2309.15505 §2/§3.1; BSQ arXiv 2406.07548 §3).
+  [ref-api]   pinned by the reference's own construction kwargs
+              (magvit2_pytorch.py:1363-1381) — a wrong name/semantic would
+              break the reference itself.
+  [ckpt]      falsifiable by any real reference checkpoint through the
+              strict importer / exact-index tests (a divergence surfaces as
+              a loud, structured failure).
+  [convention] package-internal choice we cannot verify offline — the
+              actual residual risk.
 
 LFQ:
-- A1. codebook_dim = log2(codebook_size); project_in/out = nn.Linear WITH bias,
-      present iff dim != codebook_dim * num_codebooks.
+- A1. codebook_dim = log2(codebook_size); project_in/out = nn.Linear WITH
+      bias, present iff dim != codebook_dim * num_codebooks.
+      [paper] (codes are {-1,1}^log2(K)); bias presence/absence is [ckpt]
+      (strict import fails on an unexpected/missing `quantizers.*.bias`).
 - A2. indices are MSB-first bit packs: mask = 2**arange(d-1, ..., 0),
       index = sum((x > 0) * mask)  →  channel 0 is the most significant bit.
+      [convention] — the paper does not fix bit order. Falsified-by: any
+      real checkpoint decode (mismatch pattern = exact bit reversal);
+      pinned as literal vectors in tests/test_quantizers.py::
+      test_lfq_bit_order_msb_first.
 - A3. soft clamp x = tanh(x / v) * v applied after project_in (and after the
-      spherical l2norm), before quantization; the commitment loss compares the
-      CLAMPED input against the detached codes.
+      spherical l2norm), before quantization; the commitment loss compares
+      the CLAMPED input against the detached codes.
+      kwarg existence [ref-api]; clamp FORM and ordering [convention]
+      (index-invariant for the sign quantizer when v > 0 — ordering only
+      shifts loss values, not codes, except spherical interplay).
 - A4. spherical=True is BSQ: the input is l2-normalized and the quantized
       codes are too (codes = ±1/sqrt(d)); the entropy codebook rows likewise.
+      [paper] (BSQ); the kwarg name `spherical` is [ref-api].
 - A5. straight-through x + (quantized - x).detach() in TRAINING only; eval
-      returns the exact code values.
+      returns the exact code values. STE-in-training [paper]; exact-at-eval
+      [convention] (index-invariant; affects decoder inputs only).
 - A6. entropy aux loss: probs = softmax(2 * inv_temperature * x @ codebook^T)
       (inv_temperature default 100); per_sample_entropy = H(probs).mean();
       codebook_entropy = H(mean probs over batch*seq).mean over codebooks;
       entropy_aux = per_sample - diversity_gamma * codebook_entropy.
+      Loss STRUCTURE [paper] (eq. for H(E[p]) and E[H(p)]);
+      inv_temperature=100 default and the exact softmax scaling
+      [convention] — training-dynamics-only, never affects indices.
 - A7. returned aux loss = entropy_aux * entropy_loss_weight
       + commitment * commitment_loss_weight (commitment = plain MSE);
-      aux losses are zero at eval.
+      aux losses are zero at eval. Weight kwargs [ref-api]; composition
+      [convention] (training-dynamics-only).
 - A8. quantization math runs in float32 (force_quantization_f32).
+      [convention] — affects only sub-ulp sign boundaries; exercised by the
+      margin contract test (tests/test_torch_parity.py, |x| margin floor).
 
 FSQ:
 - B1. basis = cumprod([1, *levels[:-1]]) — the FIRST level is the LEAST
-      significant digit.
+      significant digit. [convention] for digit ORDER ([paper] fixes only
+      the mixed-radix total); pinned as literal vectors in
+      tests/test_torch_parity.py (per-digit comparison) and falsified-by
+      any real checkpoint (mismatch = digit permutation).
 - B2. bound(z) = tanh(z + shift) * half_l - offset with
       half_l = (levels-1)(1+eps)/2, offset = 0.5 for even levels,
       shift = atanh(offset / half_l); codes = round(bound(z)) / (levels // 2).
-- B3. no aux losses; round uses straight-through in training.
+      [paper] (FSQ §3.1 gives exactly this construction incl. the even-level
+      half-shift); the (1+eps) guard is [convention].
+- B3. no aux losses; round uses straight-through in training. [paper].
 - B4. project_in/out Linear with bias iff dim != len(levels) * num_codebooks.
+      [ckpt] (same strict-import argument as A1).
 
 Shared: channel-first inputs of ndim >= 4 are internally moved to
 channels-last and flattened to (b, n, d) exactly as einops
