@@ -52,6 +52,31 @@ class Attention(nn.Module):
         assert self.num_memory_kv > 0
         dim_inner = self.dim_head * self.heads
 
+        from magvit2_pytorch_tpu.ops.pallas.axial_attention import (
+            fused_eligible)
+        if fused_eligible(
+                x.shape[1], self.dim, self.heads, self.dim_head,
+                has_cond=exists(self.dim_cond), dropout=self.dropout,
+                use_rotary=self.use_rotary, streaming=streaming,
+                has_mask=exists(mask)):
+            # Fused Pallas path (ops/pallas/axial_attention.py): norm + qkv
+            # + memory-KV softmax attention + out projection in one VMEM
+            # pass. Children are constructed identically to the XLA path so
+            # the param tree matches (checkpoints are interchangeable).
+            from magvit2_pytorch_tpu.ops.pallas.axial_attention import (
+                fused_attention_block)
+            gamma = RMSNorm(self.dim, name='norm').gamma
+            wqkv, _ = Linear(dim_inner * 3, use_bias=False,
+                             name='to_qkv')._params(self.dim)
+            mem_kv_p = self.param(
+                'mem_kv', nn.initializers.normal(stddev=1.0),
+                (2, self.heads, self.num_memory_kv, self.dim_head))
+            wout, _ = Linear(self.dim, use_bias=False,
+                             name='to_out')._params(dim_inner)
+            return fused_attention_block(
+                x, gamma, wqkv, mem_kv_p, wout, self.heads, self.dim_head,
+                self.causal, jax.default_backend() != 'tpu')
+
         if exists(self.dim_cond):
             x = AdaptiveRMSNorm(self.dim, dim_cond=self.dim_cond, name='norm')(x, cond)
         else:
