@@ -62,6 +62,48 @@ from magvit2_pytorch_tpu.utils.helpers import default, exists
 from magvit2_pytorch_tpu.utils.precision import Policy, default_policy
 
 
+def _fill_adam_state(opt_state, mu, nu, count):
+    """Write converted torch Adam moments into an optax state pytree: every
+    ``ScaleByAdamState`` mu/nu leaf is replaced by the corresponding leaf of
+    ``mu``/``nu`` (matched by tree path), and every ``count`` field — Adam
+    bias-correction and LR-schedule counts alike — is set to ``count``
+    (torch Adam's per-param ``step`` and optax's ``count`` share semantics:
+    number of applied updates). Path-based surgery works for any nesting:
+    clip chains, ``apply_if_finite``, ``multi_transform``/``masked`` states;
+    ``optax.MaskedNode`` placeholders have no leaves and pass through."""
+    from jax.tree_util import (
+        DictKey,
+        GetAttrKey,
+        SequenceKey,
+        tree_map_with_path,
+    )
+
+    def _lookup(tree, keys):
+        for k in keys:
+            if isinstance(k, DictKey):
+                tree = tree[k.key]
+            elif isinstance(k, SequenceKey):
+                tree = tree[k.idx]
+            elif isinstance(k, GetAttrKey):
+                tree = getattr(tree, k.name)
+            else:
+                raise TypeError(f'unsupported tree path key {k!r}')
+        return tree
+
+    def repl(path, leaf):
+        names = [getattr(k, 'name', None) for k in path]
+        for field, src in (('mu', mu), ('nu', nu)):
+            if field in names:
+                i = len(names) - 1 - names[::-1].index(field)
+                return jnp.asarray(_lookup(src, path[i + 1:]),
+                                   dtype=leaf.dtype)
+        if names and names[-1] == 'count':
+            return jnp.asarray(count, dtype=leaf.dtype)
+        return leaf
+
+    return tree_map_with_path(repl, opt_state)
+
+
 class VideoTokenizerTrainer:
 
     def __init__(
@@ -365,6 +407,11 @@ class VideoTokenizerTrainer:
             data, *_ = next(dl_iter)
             batches.append(np.asarray(data, dtype=dtype))
         stacked = np.stack(batches)
+        if stacked.ndim == 5:
+            # image dataset: lift (A, B, H, W, C) to single-frame videos,
+            # like the reference's images-mode rearrange
+            # (magvit2_pytorch.py:1706-1710)
+            stacked = stacked[:, :, None]
         return self._put_global(stacked, leading_none=1)
 
     # -- jitted steps --------------------------------------------------------
@@ -755,3 +802,72 @@ class VideoTokenizerTrainer:
                 replicate(restored['discr_tree'], self.mesh))
             self.discr_opt_state = replicate(
                 restored['discr_opt_state'], self.mesh)
+
+    def load_torch_checkpoint(self, path):
+        """Resume from a reference TRAINER ``.pt`` package (reference
+        ``VideoTokenizerTrainer.save``, trainer.py:291-310): model + EMA
+        weights, main-discriminator weights, Adam moments of the generator
+        and main-discriminator optimizers, and the step counter.
+
+        Not carried over: reference multiscale discriminators (arbitrary
+        user torch modules — weights/optimizer states unconvertible; a
+        warning is emitted and the rebuild's multiscale params keep their
+        init) and torch warmup/LR-scheduler internals (the rebuild folds
+        warmup into an optax schedule keyed on the optimizer step count,
+        which IS imported, so the learning-rate trajectory resumes at the
+        right point). Trust boundary: like the reference's own
+        ``trainer.load`` this unpickles the package — only load checkpoints
+        you trust."""
+        import warnings
+
+        import torch
+
+        from magvit2_pytorch_tpu.models.torch_import import (
+            discr_adam_moments,
+            generator_adam_moments,
+            load_torch_discr_state_dict,
+            load_torch_tokenizer_state_dict,
+        )
+
+        pkg = torch.load(str(path), map_location='cpu', weights_only=False)
+        cfg = self.model.config
+        model_sd = pkg['model']
+
+        params = load_torch_tokenizer_state_dict(cfg, model_sd)
+        self.model.params = self._place(jax.tree.map(jnp.asarray, params))
+
+        # EMA: keys live under 'ema_model.' (ema_pytorch EMA with
+        # include_online_model=False, reference trainer.py:109-113;
+        # 'initted'/'step' are EMA-internal buffers)
+        ema_sd = {k[len('ema_model.'):]: v for k, v in pkg['ema_model'].items()
+                  if k.startswith('ema_model.')}
+        ema = load_torch_tokenizer_state_dict(cfg, ema_sd)
+        self.ema_params = self._place(jax.tree.map(jnp.asarray, ema))
+
+        mu, nu, count = generator_adam_moments(cfg, model_sd, pkg['optimizer'])
+        self.opt_state = self._place(
+            _fill_adam_state(self.opt_state, mu, nu, count))
+
+        if self.has_gan:
+            discr = load_torch_discr_state_dict(model_sd)
+            tree = self._discr_tree()
+            if any(k.startswith('multiscale_discrs.') for k in model_sd):
+                warnings.warn(
+                    'reference multiscale discriminator weights are user '
+                    'modules and are not imported; keeping initialized '
+                    'multiscale params')
+            tree = {'discr': jax.tree.map(jnp.asarray, discr),
+                    'multiscale': tree['multiscale']}
+            self._set_discr_tree(replicate(tree, self.mesh))
+            dmu, dnu, dcount = discr_adam_moments(
+                model_sd, pkg['discr_optimizer'])
+            zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
+            self.discr_opt_state = replicate(
+                _fill_adam_state(
+                    self.discr_opt_state,
+                    {'discr': dmu, 'multiscale': zeros(tree['multiscale'])},
+                    {'discr': dnu, 'multiscale': zeros(tree['multiscale'])},
+                    dcount),
+                self.mesh)
+
+        self.step = int(pkg['step'])
