@@ -20,9 +20,12 @@ package layouts recorded in tests/fixtures/ref_loader.py; all conv/attention/
 norm layers are validated end-to-end against the actual reference model run on
 CPU (tests/test_torch_parity.py).
 
-Discriminator weights are not imported (the reference strips VGG and the
-rebuild treats discr params as a separate tree; extend here if adversarial
-resume-from-torch is ever needed).
+Discriminator weights convert via ``load_torch_discr_state_dict`` (the main
+image discriminator; reference multiscale discriminators are arbitrary user
+modules and stay unconverted). Adam moments from a reference trainer ``.pt``
+package (trainer.py:291-310) convert via ``generator_adam_moments`` /
+``discr_adam_moments`` — moments share their param's shape, so each converts
+with the same per-tensor transform as its weight.
 """
 
 from __future__ import annotations
@@ -291,13 +294,172 @@ def load_torch_tokenizer_state_dict(config, state: Mapping,
 
     if strict:
         ignorable = ('discr.', 'multiscale_discrs.', 'vgg.')
-        buffers = ('quantizers.mask', 'quantizers.codebook',
-                   'quantizers._levels', 'quantizers._basis', 'zero')
         leftover = [k for k in s.unused()
-                    if not k.startswith(ignorable) and k not in buffers]
+                    if not k.startswith(ignorable)
+                    and k not in GENERATOR_BUFFER_KEYS]
         assert not leftover, f'unconverted torch keys: {leftover}'
 
     return out
+
+
+# --------------------------------------------------- discriminator import
+
+# state_dict entries that are torch BUFFERS, not parameters — present in
+# state_dict but absent from ``parameters()`` (and so from optimizer state):
+# LFQ's mask/codebook, FSQ's _levels/_basis, and the model-level ``zero``
+# (magvit2_pytorch.py:1364-1382, :1445)
+GENERATOR_BUFFER_KEYS = ('quantizers.mask', 'quantizers.codebook',
+                         'quantizers._levels', 'quantizers._basis', 'zero')
+
+
+def _conv2d(w):
+    """Conv2d weight (o, i, kh, kw) -> channels-last (kh, kw, i, o)."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def load_torch_discr_state_dict(state: Mapping, prefix: str = 'discr.') -> dict:
+    """Reference image ``Discriminator.state_dict()`` (keys under ``prefix``;
+    module layout at magvit2_pytorch.py:549-675) -> the rebuild's
+    ``models.discriminator.Discriminator`` param pytree.
+
+    The layout is self-describing — blocks are read while ``blocks.{i}`` keys
+    exist and the space-to-depth conv is detected by key presence — so no
+    config is required. Blur's ``f`` buffer ([1,2,1], magvit2_pytorch.py:512-516)
+    is a constant in the rebuild and is skipped."""
+    s = _State({k[len(prefix):]: v for k, v in state.items()
+                if k.startswith(prefix)})
+    out = {}
+    i = 0
+    while s.has(f'blocks.{i}.0.conv_res.weight'):
+        p = f'blocks.{i}.0'
+        block = {
+            'conv_res': {'kernel': _conv2d(s.take(f'{p}.conv_res.weight')),
+                         'bias': _np(s.take(f'{p}.conv_res.bias'))},
+            'conv1': {'kernel': _conv2d(s.take(f'{p}.net.0.weight')),
+                      'bias': _np(s.take(f'{p}.net.0.bias'))},
+            'conv2': {'kernel': _conv2d(s.take(f'{p}.net.2.weight')),
+                      'bias': _np(s.take(f'{p}.net.2.bias'))},
+        }
+        if s.has(f'{p}.downsample.1.weight'):
+            block['conv_down'] = {
+                'kernel': _conv2d(s.take(f'{p}.downsample.1.weight')),
+                'bias': _np(s.take(f'{p}.downsample.1.bias'))}
+        if s.has(f'{p}.maybe_blur.f'):
+            s.take(f'{p}.maybe_blur.f')  # buffer; constant in the rebuild
+        out[f'block_{i}'] = block
+        # the attn/ff modules are flax children of Discriminator itself (they
+        # are constructed in Discriminator's compact scope, then wrapped by
+        # Residual), so their params live under their auto names
+        out[f'LinearSpaceAttention_{i}'] = _linear_attention(
+            s, f'blocks.{i}.1.0.fn')
+        out[f'FeedForward_{i}'] = _feedforward(s, f'blocks.{i}.1.1.fn')
+        i += 1
+    assert i > 0, f'no discriminator blocks found under prefix {prefix!r}'
+    out['to_logits_conv'] = {
+        'kernel': _conv2d(s.take('to_logits.0.weight')),
+        'bias': _np(s.take('to_logits.0.bias'))}
+    out['to_logits'] = {'kernel': _linear(s.take('to_logits.3.weight')),
+                        'bias': _np(s.take('to_logits.3.bias'))}
+    leftover = s.unused()
+    assert not leftover, f'unconverted torch discr keys: {leftover}'
+    return out
+
+
+# --------------------------------------------- optimizer-moment conversion
+
+# explicit module order of the reference's ``parameters()`` override
+# (magvit2_pytorch.py:1460-1471) — NOT registration order
+_PARAMETERS_MODULE_ORDER = (
+    'conv_in', 'conv_in_first_frame', 'conv_out_first_frame', 'conv_out',
+    'encoder_layers', 'decoder_layers', 'encoder_cond_in', 'decoder_cond_in',
+    'quantizers')
+
+
+def generator_param_order(state: Mapping) -> list:
+    """Generator param keys in the exact order the reference's
+    ``parameters()`` yields them: an explicit module list
+    (magvit2_pytorch.py:1460-1471); within each module, ``parameters()``
+    follows registration order, which equals state_dict key order. Buffers
+    (``GENERATOR_BUFFER_KEYS``) are excluded — they never reach the
+    optimizer."""
+    by_module = {}
+    for k in state:
+        if k in GENERATOR_BUFFER_KEYS:
+            continue
+        by_module.setdefault(k.split('.', 1)[0], []).append(k)
+    out = []
+    for mod in _PARAMETERS_MODULE_ORDER:
+        out.extend(by_module.get(mod, []))
+    return out
+
+
+def discr_param_order(state: Mapping, prefix: str = 'discr.') -> list:
+    """Discriminator param keys (full ``discr.``-prefixed names) in
+    ``discr.parameters()`` order (= registration order,
+    magvit2_pytorch.py:1473-1474). Blur ``f`` buffers excluded."""
+    return [k for k in state
+            if k.startswith(prefix) and not k.endswith('maybe_blur.f')]
+
+
+def _moment_state_dicts(model_state: Mapping, opt_state: Mapping, order):
+    """Torch ``Adam``/``AdamW`` ``state_dict()`` -> two synthetic state_dicts
+    where each param tensor is replaced by its ``exp_avg`` / ``exp_avg_sq``
+    (zeros when the param was never stepped), plus the max step count.
+
+    Torch optimizers key their state by position in the concatenation of the
+    param_groups' param lists. ``get_optimizer`` (reference optimizer.py:12-42)
+    builds one group when ``wd == 0`` (params in ``order``) or two when
+    grouping weight decay (ndim>=2 params first — the
+    ``separate_weight_decayable_params`` split, optimizer.py:3-10)."""
+    groups = opt_state['param_groups']
+    if len(groups) == 1:
+        seq = list(order)
+    else:
+        assert len(groups) == 2, f'unexpected param_groups: {len(groups)}'
+        seq = ([k for k in order if _np(model_state[k]).ndim >= 2]
+               + [k for k in order if _np(model_state[k]).ndim < 2])
+    idxs = [i for g in groups for i in g['params']]
+    assert len(idxs) == len(seq), (
+        f'optimizer holds {len(idxs)} params, state_dict implies {len(seq)}')
+    name_of = dict(zip(idxs, seq))
+
+    exp_avg = dict(model_state)
+    exp_avg_sq = dict(model_state)
+    for k in order:
+        z = np.zeros_like(_np(model_state[k]))
+        exp_avg[k] = z
+        exp_avg_sq[k] = z
+    count = 0
+    for i, st in opt_state['state'].items():
+        k = name_of[int(i)]
+        exp_avg[k] = _np(st['exp_avg'])
+        exp_avg_sq[k] = _np(st['exp_avg_sq'])
+        count = max(count, int(st['step']))
+    return exp_avg, exp_avg_sq, count
+
+
+def generator_adam_moments(config, model_state: Mapping, opt_state: Mapping):
+    """Generator optimizer state (reference trainer.py:156, over
+    ``model.parameters()``) -> ``(mu, nu, count)`` in the rebuild's param-tree
+    structure. Every weight transform here is a per-tensor permutation/
+    reshape, and Adam moments are elementwise — so converting each moment
+    tensor with the SAME transform as its weight (by substituting it into the
+    state_dict and re-running the weight converter) is exact."""
+    exp_avg, exp_avg_sq, count = _moment_state_dicts(
+        model_state, opt_state, generator_param_order(model_state))
+    mu = load_torch_tokenizer_state_dict(config, exp_avg, strict=False)
+    nu = load_torch_tokenizer_state_dict(config, exp_avg_sq, strict=False)
+    return mu, nu, count
+
+
+def discr_adam_moments(model_state: Mapping, opt_state: Mapping):
+    """Main-discriminator optimizer state (reference trainer.py:157, over
+    ``model.discr_parameters()``) -> ``(mu, nu, count)`` discr param trees."""
+    exp_avg, exp_avg_sq, count = _moment_state_dicts(
+        model_state, opt_state, discr_param_order(model_state))
+    mu = load_torch_discr_state_dict(exp_avg)
+    nu = load_torch_discr_state_dict(exp_avg_sq)
+    return mu, nu, count
 
 
 def torch_config_to_kwargs(raw: Mapping) -> dict:
