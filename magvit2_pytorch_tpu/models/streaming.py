@@ -20,6 +20,16 @@ tests/test_streaming.py). Conditioned (``cond_*``) layers stream with a fixed
 per-stream ``cond`` vector. The one unsupported mode is
 ``separate_first_frame_encoding`` (its first-frame stem needs whole-clip
 packing semantics) — rejected at session construction.
+
+Bit-exactness boundary on TPU: the fused Pallas kernels
+(ops/pallas/residual_unit.py, ops/pallas/axial_attention.py) engage on
+whole-clip passes but not on streaming chunks (their gates exclude
+``streaming=True`` — the kernels hold no cross-chunk state), so a TPU
+whole-clip pass and a streamed pass differ by kernel-vs-XLA numerics
+(~1e-3 relative in bf16; identical math). For a bit-exact comparison set
+``MAGVIT2_TPU_NO_FUSED_ATTN=1`` and ``MAGVIT2_TPU_NO_FUSED_RU=1`` so both
+sides run the XLA path — that configuration (and every CPU run) is
+bit-identical, as the tests assert.
 """
 
 from __future__ import annotations

@@ -302,6 +302,36 @@ class TimeAttention(Attention):
 
     @nn.compact
     def __call__(self, x, mask=None, cond=None, streaming: bool = False):
+        from magvit2_pytorch_tpu.ops.pallas.axial_attention import (
+            fused_time_eligible)
+        b, t, h, w, c = x.shape
+        if fused_time_eligible(
+                t, h * w, self.dim, self.heads, self.dim_head,
+                has_cond=exists(self.dim_cond), dropout=self.dropout,
+                use_rotary=self.use_rotary, streaming=streaming,
+                has_mask=exists(mask)):
+            # Layout-native fused Pallas path: attends over t directly in the
+            # (b, t, h, w, c) conv layout — the XLA path below pays a
+            # whole-tensor relayout on each side of a tiny-t attention.
+            # Children are constructed with the same names as the XLA path
+            # so the param tree matches (checkpoints interchangeable).
+            from magvit2_pytorch_tpu.ops.pallas.axial_attention import (
+                fused_time_attention_block)
+            dim_inner = self.dim_head * self.heads
+            gamma = RMSNorm(self.dim, name='norm').gamma
+            wqkv, _ = Linear(dim_inner * 3, use_bias=False,
+                             name='to_qkv')._params(self.dim)
+            mem_kv_p = self.param(
+                'mem_kv', nn.initializers.normal(stddev=1.0),
+                (2, self.heads, self.num_memory_kv, self.dim_head))
+            wout, _ = Linear(self.dim, use_bias=False,
+                             name='to_out')._params(dim_inner)
+            out = fused_time_attention_block(
+                x.reshape(b, t, h * w, c), gamma, wqkv, mem_kv_p, wout,
+                self.heads, self.dim_head, self.causal,
+                jax.default_backend() != 'tpu')
+            return out.reshape(b, t, h, w, c)
+
         seq, restore = _time_to_seq(x)
         if exists(cond):
             cond = jnp.repeat(cond, seq.shape[0] // cond.shape[0], axis=0)

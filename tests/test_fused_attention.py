@@ -102,3 +102,68 @@ def test_vjp_exact_vs_twin():
     for k in gp_f:
         np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_t[k]),
                                    rtol=1e-2, atol=1e-3, err_msg=k)
+
+
+# -- time-axis variant (layout-native attend_time) ----------------------------
+
+from magvit2_pytorch_tpu.ops.pallas.axial_attention import (  # noqa: E402
+    _time_block_xla, fused_time_attention_block)
+
+
+@pytest.mark.parametrize('shape', [(2, 5, 32), (1, 4, 64)])
+@pytest.mark.parametrize('causal', [True, False])
+@pytest.mark.parametrize('dtype', [jnp.float32, jnp.bfloat16])
+def test_time_kernel_matches_twin(shape, causal, dtype):
+    b, t, s = shape
+    p = _params(jax.random.PRNGKey(10), dtype)
+    x = jax.random.normal(jax.random.PRNGKey(11), (b, t, s, C)).astype(dtype)
+
+    got = fused_time_attention_block(
+        x, p['g1'], p['wqkv'], p['mem_kv'], p['wout'], HEADS, DH, causal,
+        True)  # interpret
+    want = _time_block_xla(x, p['g1'], p['wqkv'], p['mem_kv'], p['wout'],
+                           heads=HEADS, dim_head=DH, causal=causal)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_time_module_fused_wiring_matches_unfused(monkeypatch):
+    """TimeAttention with the gate forced on (interpret kernel) must equal
+    its default XLA path, sharing one param tree."""
+    import magvit2_pytorch_tpu.ops.pallas.axial_attention as ax
+    from magvit2_pytorch_tpu.ops.attention import TimeAttention
+
+    mod = TimeAttention(dim=C, heads=HEADS, dim_head=DH, causal=True)
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 5, 4, 8, C))
+    params = mod.init(jax.random.PRNGKey(13), x)
+    want = mod.apply(params, x)          # gate off on CPU -> XLA path
+
+    monkeypatch.setattr(ax, 'fused_time_eligible', lambda *a, **k: True)
+    got = mod.apply(params, x)           # fused wiring, interpret kernel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_time_vjp_exact_vs_twin():
+    p = _params(jax.random.PRNGKey(14))
+    x = jax.random.normal(jax.random.PRNGKey(15), (2, 5, 32, C))
+
+    def loss_fused(x, p):
+        out = fused_time_attention_block(x, p['g1'], p['wqkv'], p['mem_kv'],
+                                         p['wout'], HEADS, DH, True, True)
+        return jnp.sum(out ** 2)
+
+    def loss_twin(x, p):
+        out = _time_block_xla(x, p['g1'], p['wqkv'], p['mem_kv'], p['wout'],
+                              heads=HEADS, dim_head=DH, causal=True)
+        return jnp.sum(out ** 2)
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    gx_t, gp_t = jax.grad(loss_twin, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_t),
+                               rtol=1e-2, atol=1e-3)
+    for k in gp_f:
+        np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_t[k]),
+                                   rtol=1e-2, atol=1e-3, err_msg=k)
