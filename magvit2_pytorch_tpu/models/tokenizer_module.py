@@ -88,6 +88,9 @@ class TokenizerConfig:
     lfq_spherical: bool = False
     quantizer_aux_loss_weight: float = 1.0
     lfq_soft_clamp_input_value: Optional[float] = 10.0
+    # exact chunk-enumerated diversity entropy for large codebooks instead of
+    # the per-bit marginal surrogate (ops/quantizers.py module docstring)
+    lfq_exact_codebook_entropy: bool = False
     use_fsq: bool = False
     fsq_levels: Optional[Tuple[int, ...]] = None
     attn_dim_head: int = 32
@@ -364,6 +367,7 @@ class TokenizerModule(nn.Module):
                 diversity_gamma=cfg.lfq_diversity_gamma,
                 soft_clamp_input_value=cfg.lfq_soft_clamp_input_value,
                 spherical=cfg.lfq_spherical,
+                exact_codebook_entropy=cfg.lfq_exact_codebook_entropy,
                 name='quantizers',
             )
         else:

@@ -20,7 +20,14 @@ Deviation (flagged): for codebooks larger than ``entropy_full_max_size`` the
 entropy regularizer uses the exact factorized per-bit form (the 2^D codebook of
 LFQ factorizes over bits) instead of materializing a 2^18-wide softmax; the
 diversity term then uses the per-bit marginal entropy surrogate, as in
-Open-MAGVIT2-style large-codebook training.
+Open-MAGVIT2-style large-codebook training. Per-bit marginals can look
+perfect while the joint code distribution collapses, so
+``exact_codebook_entropy=True`` (config ``lfq_exact_codebook_entropy``)
+replaces the surrogate with the EXACT diversity entropy computed by
+enumerating the codebook in chunks: the per-sample softmax normalizer
+factorizes in closed form, so each chunk is one (bits @ log-odds) matmul —
+2^18 codes cost ~64 chunked matmuls per step, O(chunk) memory
+(remat'd scan, no 2^18-wide residual).
 """
 
 from __future__ import annotations
@@ -82,6 +89,11 @@ class LFQ(nn.Module):
     inv_temperature: float = 100.0
     keep_num_codebooks_dim: Optional[bool] = None
     entropy_full_max_size: int = 4096
+    # exact (chunk-enumerated) diversity entropy for codebooks above
+    # entropy_full_max_size, replacing the per-bit marginal surrogate —
+    # see the module docstring
+    exact_codebook_entropy: bool = False
+    entropy_chunk_size: int = 4096
 
     @property
     def codebook_dim(self) -> int:
@@ -197,9 +209,48 @@ class LFQ(nn.Module):
             return -(p * jnp.log(p) + (1 - p) * jnp.log(1 - p))
 
         per_sample = binary_entropy(p_pos).sum(axis=-1).mean()
+        if self.exact_codebook_entropy:
+            return per_sample, self._chunked_codebook_entropy(z)
         mean_p = p_pos.mean(axis=(0, 1))                          # (c, d)
         codebook_ent = binary_entropy(mean_p).sum(axis=-1).mean()
         return per_sample, codebook_ent
+
+    def _chunked_codebook_entropy(self, z):
+        """EXACT diversity entropy H(mean_bn p(.|z)) over the full codebook,
+        enumerated in chunks. The per-sample distribution factorizes over
+        bits, so its normalizer is closed-form and each chunk's log-probs are
+        one matmul: log p(k|z) = sum_d log p(-|z_d) + bits_k @ (log p(+|z) -
+        log p(-|z)). The scan body is remat'd: reverse-mode stores only the
+        carry, never a codebook-wide intermediate."""
+        t = self.inv_temperature
+        scale = (self.codebook_dim ** -0.5) if self.spherical else 1.0
+        a = 4.0 * t * scale * z                       # (b, n, c, d)
+        lp_pos = jax.nn.log_sigmoid(a)
+        lp_neg = jax.nn.log_sigmoid(-a)
+        base = lp_neg.sum(-1)                         # (b, n, c)
+        diff = lp_pos - lp_neg                        # (b, n, c, d)
+
+        d = self.codebook_dim
+        kc = min(self.codebook_size, self.entropy_chunk_size)
+        n_chunks = self.codebook_size // kc
+        shifts = jnp.arange(d - 1, -1, -1)            # MSB-first (_bit_mask)
+
+        def body(h_acc, i):
+            codes = i * kc + jnp.arange(kc)
+            bits = ((codes[:, None] >> shifts) & 1).astype(jnp.float32)
+            logp = base[..., None] + jnp.einsum(
+                'bncd,kd->bnck', diff, bits)          # (b, n, c, kc)
+            m = jnp.exp(logp).mean(axis=(0, 1))       # (c, kc)
+            h = -jnp.sum(
+                jnp.where(m > 1e-30, m * jnp.log(jnp.clip(m, 1e-30)), 0.0),
+                axis=-1)
+            return h_acc + h, None
+
+        c = z.shape[2]
+        h, _ = jax.lax.scan(jax.checkpoint(body),
+                            jnp.zeros((c,), jnp.float32),
+                            jnp.arange(n_chunks))
+        return h.mean()
 
     def sign_values(self, x):
         """Pre-sign values z (b, *spatial, c, d): the quantities whose signs

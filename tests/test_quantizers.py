@@ -155,3 +155,54 @@ def test_fsq_ste_gradient():
     g = jax.grad(f)(x)
     assert np.all(np.isfinite(_np(g)))
     assert np.abs(_np(g)).max() > 0
+
+
+# -- exact chunked codebook entropy (large-codebook diversity term) -----------
+
+
+def test_chunked_codebook_entropy_matches_dense_exact():
+    """The chunk-enumerated diversity entropy must equal the dense full-
+    softmax path's codebook entropy (values AND gradients) on a codebook
+    small enough to run both."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 8)).astype(np.float32))
+
+    # inv_temperature lowered so probabilities are not one-hot (harder case)
+    dense = LFQ(dim=8, codebook_size=256, inv_temperature=1.0)
+    chunked = LFQ(dim=8, codebook_size=256, inv_temperature=1.0,
+                  entropy_full_max_size=1, exact_codebook_entropy=True,
+                  entropy_chunk_size=64)
+    params = dense.init(jax.random.PRNGKey(0), x)
+
+    def ent(mod, x):
+        return mod.apply(params, x, train=True).breakdown
+
+    bd_d = ent(dense, x)
+    bd_c = ent(chunked, x)
+    np.testing.assert_allclose(_np(bd_c.codebook_entropy),
+                               _np(bd_d.codebook_entropy), rtol=1e-5)
+    # per-sample entropy: factorized closed form == dense softmax entropy
+    np.testing.assert_allclose(_np(bd_c.per_sample_entropy),
+                               _np(bd_d.per_sample_entropy), rtol=1e-5)
+
+    g_d = jax.grad(lambda x: dense.apply(params, x, train=True).aux_loss)(x)
+    g_c = jax.grad(lambda x: chunked.apply(params, x, train=True).aux_loss)(x)
+    np.testing.assert_allclose(_np(g_c), _np(g_d), rtol=2e-4, atol=1e-6)
+
+
+def test_chunked_codebook_entropy_2e18_smoke():
+    """2^18 codebook: the exact diversity term runs in chunked form (64
+    matmul sweeps), stays finite, and is differentiable."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 2, 2, 2, 18)).astype(np.float32))
+    lfq = LFQ(dim=18, codebook_size=2 ** 18, exact_codebook_entropy=True)
+    params = lfq.init(jax.random.PRNGKey(0), x)
+
+    out = lfq.apply(params, x, train=True)
+    assert np.isfinite(_np(out.breakdown.codebook_entropy))
+    # H(mixture of M per-sample dists) <= log(M) + mean per-sample entropy
+    bound = np.log(8) + _np(out.breakdown.per_sample_entropy) + 1e-3
+    assert _np(out.breakdown.codebook_entropy) <= bound
+
+    g = jax.grad(lambda x: lfq.apply(params, x, train=True).aux_loss)(x)
+    assert np.all(np.isfinite(_np(g)))

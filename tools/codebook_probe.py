@@ -77,6 +77,10 @@ def main():
     ap.add_argument('--every', type=int, default=25)
     ap.add_argument('--image-size', type=int, default=256)
     ap.add_argument('--train-items', type=int, default=256)
+    ap.add_argument('--exact-entropy', action='store_true',
+                    help='train with the exact chunk-enumerated diversity '
+                         'entropy instead of the per-bit surrogate '
+                         '(lfq_exact_codebook_entropy=True)')
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import open_magvit2_image_tokenizer_kwargs
@@ -94,6 +98,7 @@ def main():
     tok = VideoTokenizer(**open_magvit2_image_tokenizer_kwargs(
         image_size=args.image_size,
         use_gan=False, perceptual_loss_weight=0.0,
+        lfq_exact_codebook_entropy=args.exact_entropy,
     ), seed=0)
     data = _textures(args.train_items, args.image_size, seed=1)
     probe = jnp.asarray(
