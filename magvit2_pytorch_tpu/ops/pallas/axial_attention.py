@@ -234,13 +234,16 @@ def _time_kernel(x_ref, g1_ref, wqkv_ref, memk_ref, memv_ref, wout_ref, o_ref,
     qkv = jnp.dot(xn, wqkv_ref[...],
                   preferred_element_type=jnp.float32).astype(dtype)
 
-    # row-major (t, s) position index; S_BLK is a power of two so the
-    # div/mod lower to shifts/masks
+    # row-major (t, s) position index; S_BLK is a power of two, so same-pixel
+    # and frame-order tests are pure bitwise ops (mask / arithmetic shift) —
+    # guaranteed-lowerable elementwise vector ops on the VPU. Two's-complement
+    # AND computes (p - q) mod S_BLK correctly for negative differences.
+    shift = S_BLK.bit_length() - 1
     p = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     q = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    vis = (p % S_BLK) == (q % S_BLK)                   # same pixel
+    vis = ((p - q) & (S_BLK - 1)) == 0                 # same pixel
     if causal:
-        vis = vis & ((q // S_BLK) <= (p // S_BLK))
+        vis = vis & ((q >> shift) <= (p >> shift))     # t_q <= t_p
 
     neg = jnp.finfo(jnp.float32).min
     heads = []
