@@ -10,6 +10,7 @@ run() {  # run <timeout_s> <cmd...>
   timeout "$t" "$@" 2>&1 | grep -viE "warning|xla_bridge" | tee -a "$LOG"
   echo | tee -a "$LOG"
 }
+run 900 python tools/kernel_compile_check.py
 run 1500 python bench.py                                   # driver default
 run 1500 env MAGVIT2_TPU_NO_FUSED_ATTN=1 python bench.py   # isolate fused attn
 run 1500 python bench.py --lane-pack true                  # packed+fused RU
