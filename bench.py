@@ -75,7 +75,11 @@ def main():
 
     # the whole measurement doubles as an OOM probe: if the requested batch
     # does not fit (HBM layouts shift release to release), step down and
-    # retry so the driver always gets a number
+    # retry so the driver always gets a number. A fused Pallas kernel that
+    # fails to lower (Mosaic errors shift release to release too) falls back
+    # to the XLA paths via the kill switches rather than killing the bench.
+    import os
+    fused_fallback_done = False
     while True:
         try:
             run(args.n_short, 0)  # compile + warm
@@ -83,15 +87,26 @@ def main():
             t_long = run(args.n_long, 2)
             break
         except Exception as e:  # noqa: BLE001
-            if 'RESOURCE_EXHAUSTED' not in str(e) or args.batch <= 8:
-                raise
-            args.batch = args.batch * 3 // 4 // 8 * 8
-            print(f'# OOM, retrying with batch {args.batch}', file=sys.stderr)
-            shape = (args.batch, args.frames, args.image_size,
-                     args.image_size, 3)
-            gen = jax.jit(
-                lambda k: jax.random.uniform(
-                    k, shape, jnp.float32).astype(dtype))
+            if 'RESOURCE_EXHAUSTED' in str(e) and args.batch > 8:
+                args.batch = args.batch * 3 // 4 // 8 * 8
+                print(f'# OOM, retrying with batch {args.batch}',
+                      file=sys.stderr)
+                shape = (args.batch, args.frames, args.image_size,
+                         args.image_size, 3)
+                gen = jax.jit(
+                    lambda k: jax.random.uniform(
+                        k, shape, jnp.float32).astype(dtype))
+                continue
+            if not fused_fallback_done:
+                fused_fallback_done = True
+                print(f'# compile/run failed ({type(e).__name__}); '
+                      'disabling fused Pallas kernels and retrying',
+                      file=sys.stderr)
+                os.environ['MAGVIT2_TPU_NO_FUSED_ATTN'] = '1'
+                os.environ['MAGVIT2_TPU_NO_FUSED_RU'] = '1'
+                jax.clear_caches()  # gates are read at trace time
+                continue
+            raise
 
     per_iter = (t_long - t_short) / (args.n_long - args.n_short)
     fps = args.batch * args.frames / per_iter
