@@ -167,3 +167,35 @@ def test_time_vjp_exact_vs_twin():
     for k in gp_f:
         np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_t[k]),
                                    rtol=1e-2, atol=1e-3, err_msg=k)
+
+
+def test_all_fused_kernels_integration(monkeypatch):
+    """Full tokenizer forward with EVERY fused Pallas kernel forced on
+    (interpret mode) — residual unit, space attention, time attention —
+    must match the default XLA path end-to-end: same codes, close recon.
+    Catches cross-kernel wiring interactions the per-kernel tests cannot."""
+    import magvit2_pytorch_tpu.ops.pallas.axial_attention as ax
+    import magvit2_pytorch_tpu.ops.pallas.residual_unit as ru
+    from magvit2_pytorch_tpu.models import VideoTokenizer
+
+    tok = VideoTokenizer(
+        image_size=16, init_dim=64, codebook_size=256,
+        layers=('residual', 'compress_space', 'attend_space',
+                'compress_time', 'attend_time'),
+        use_gan=False, perceptual_loss_weight=0.0, seed=0)
+    x = jax.random.normal(jax.random.PRNGKey(20), (1, 5, 16, 16, 3))
+
+    codes_want = np.asarray(tok.tokenize(x))
+    recon_want = np.asarray(tok.forward(x, return_recon=True))
+
+    monkeypatch.setattr(
+        ru, 'fused_eligible',
+        lambda x, dim, ks, streaming, w_blocked: not streaming)
+    monkeypatch.setattr(ax, 'fused_eligible', lambda *a, **k: True)
+    monkeypatch.setattr(ax, 'fused_time_eligible', lambda *a, **k: True)
+
+    codes_got = np.asarray(tok.tokenize(x))
+    recon_got = np.asarray(tok.forward(x, return_recon=True))
+
+    np.testing.assert_array_equal(codes_got, codes_want)
+    np.testing.assert_allclose(recon_got, recon_want, rtol=2e-4, atol=2e-4)
