@@ -17,6 +17,7 @@ run 1500 python bench.py --lane-pack true                  # packed+fused RU
 run 1500 python bench.py --lane-pack true --batch 96
 run 1500 python bench.py --lane-pack encoder
 run 1500 env MAGVIT2_TPU_FUSED_RU_UNPACKED=1 python bench.py
+run 1500 python bench.py --batch 160
 echo SWEEP-DONE | tee -a "$LOG"
 run 1800 python tools/train_flop_audit.py
 echo MFU-DONE | tee -a "$LOG"
