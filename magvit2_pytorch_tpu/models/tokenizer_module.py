@@ -91,6 +91,13 @@ class TokenizerConfig:
     # exact chunk-enumerated diversity entropy for large codebooks instead of
     # the per-bit marginal surrogate (ops/quantizers.py module docstring)
     lfq_exact_codebook_entropy: bool = False
+    # softmax sharpness of the entropy aux loss (parity default 100, matching
+    # the reference's quantizer package). Measured: at 100 the diversity
+    # gradient is numerically ZERO once |z| > ~0.05 (sigmoid(4*100*z)
+    # saturates), so the term cannot prevent codebook collapse after the
+    # earliest steps — values around 1-10 keep it alive. Training-dynamics
+    # only; never affects indices.
+    lfq_entropy_inv_temperature: float = 100.0
     use_fsq: bool = False
     fsq_levels: Optional[Tuple[int, ...]] = None
     attn_dim_head: int = 32
@@ -368,6 +375,7 @@ class TokenizerModule(nn.Module):
                 soft_clamp_input_value=cfg.lfq_soft_clamp_input_value,
                 spherical=cfg.lfq_spherical,
                 exact_codebook_entropy=cfg.lfq_exact_codebook_entropy,
+                inv_temperature=cfg.lfq_entropy_inv_temperature,
                 name='quantizers',
             )
         else:

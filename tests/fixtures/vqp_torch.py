@@ -60,6 +60,16 @@ LFQ:
       Loss STRUCTURE [paper] (eq. for H(E[p]) and E[H(p)]);
       inv_temperature=100 default and the exact softmax scaling
       [convention] — training-dynamics-only, never affects indices.
+      MEASURED CONSEQUENCE (r3): with the assumed x100 scaling, BOTH
+      diversity-term gradients (full-softmax and factorized) are
+      numerically zero once |z| > ~0.05 (sigmoid(4*100*z) saturates) —
+      the term cannot oppose codebook collapse after the earliest steps,
+      and a scaled 2^18 probe (tools/codebook_probe.py) collapses to one
+      code by step 20. If the real package trains healthy codebooks at
+      this setting, its scaling must differ from A6 — the single most
+      falsification-worthy entry in this ledger. The rebuild exposes
+      lfq_entropy_inv_temperature to unsaturate it (1-10 keeps gradients
+      alive).
 - A7. returned aux loss = entropy_aux * entropy_loss_weight
       + commitment * commitment_loss_weight (commitment = plain MSE);
       aux losses are zero at eval. Weight kwargs [ref-api]; composition

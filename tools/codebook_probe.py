@@ -81,6 +81,10 @@ def main():
                     help='train with the exact chunk-enumerated diversity '
                          'entropy instead of the per-bit surrogate '
                          '(lfq_exact_codebook_entropy=True)')
+    ap.add_argument('--inv-temperature', type=float, default=100.0,
+                    help='entropy-loss softmax sharpness (parity default '
+                         '100; at 100 the diversity gradient saturates to '
+                         'zero once |z| > ~0.05 — try 1-10)')
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import open_magvit2_image_tokenizer_kwargs
@@ -99,6 +103,7 @@ def main():
         image_size=args.image_size,
         use_gan=False, perceptual_loss_weight=0.0,
         lfq_exact_codebook_entropy=args.exact_entropy,
+        lfq_entropy_inv_temperature=args.inv_temperature,
     ), seed=0)
     data = _textures(args.train_items, args.image_size, seed=1)
     probe = jnp.asarray(
