@@ -15,8 +15,58 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import argparse
 import functools
 import json
+import os
+import subprocess
 import sys
 import time
+
+
+def _wait_for_tunnel(max_wait=None, probe_timeout=240, retry_sleep=120):
+    """Bound the TPU-tunnel failure mode where backend init hangs forever.
+
+    The remote-TPU (axon) relay can be half-dead: the local port accepts
+    connections but the device-claim leg never receives a grant, so the
+    FIRST jax backend init blocks indefinitely (observed 2026-08-18 — every
+    in-process timeout is useless because the hang is inside PJRT client
+    creation). Probe device claim in a SUBPROCESS under a timeout and retry
+    until `max_wait` (env MAGVIT2_TPU_BENCH_WAIT_S, default 1800s); exit
+    with a clear diagnostic instead of hanging the driver if the tunnel
+    never comes back. No-op unless the env selects the tunnel backend.
+    """
+    if 'axon' not in os.environ.get('JAX_PLATFORMS', ''):
+        return
+    if max_wait is None:
+        max_wait = float(os.environ.get('MAGVIT2_TPU_BENCH_WAIT_S', 1800))
+    deadline = time.time() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                timeout=probe_timeout, capture_output=True, text=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f'# tunnel back after {attempt} probes',
+                          file=sys.stderr)
+                return
+            detail = (r.stderr or '').strip().splitlines()[-1:]
+        except subprocess.TimeoutExpired:
+            detail = [f'device claim hung > {probe_timeout}s']
+        remaining = deadline - time.time()
+        print(f'# TPU tunnel probe {attempt} failed '
+              f'({"; ".join(detail) or "unknown"}); '
+              f'{remaining:.0f}s before giving up', file=sys.stderr)
+        if remaining <= retry_sleep:
+            print('# TPU tunnel unreachable — refusing to hang the driver. '
+                  'Re-run when the tunnel is restored, or set '
+                  'JAX_PLATFORMS=cpu for a (meaningless) CPU number.',
+                  file=sys.stderr)
+            sys.exit(3)
+        time.sleep(retry_sleep)
+
+
+_wait_for_tunnel()
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +128,6 @@ def main():
     # retry so the driver always gets a number. A fused Pallas kernel that
     # fails to lower (Mosaic errors shift release to release too) falls back
     # to the XLA paths via the kill switches rather than killing the bench.
-    import os
     fused_fallback_done = False
     while True:
         try:

@@ -20,6 +20,7 @@ Usage: python tools/codebook_probe.py [--steps 300] [--batch 8] [--probe 64]
 """
 
 import argparse
+import os
 import pathlib
 import sys
 import time
@@ -29,6 +30,12 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# honor an explicit JAX_PLATFORMS=cpu: the TPU-tunnel plugin's sitecustomize
+# pins jax_platforms='axon,cpu' in CONFIG at interpreter start (config beats
+# env), and a half-dead tunnel then hangs backend init forever
+if os.environ.get('JAX_PLATFORMS') == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
 
 
 def _textures(n, size, seed):
