@@ -15,7 +15,11 @@ and memory rooflines, and (with --measured-s) the achieved MFU.
 
 Usage:
   python tools/train_flop_audit.py [--batch 2] [--accum 2] [--vgg]
-      [--measured-gen-s 0.23] [--measured-discr-s 0.11]
+      [--measure | --measured-gen-s 0.23 --measured-discr-s 0.11]
+
+--measure times the ACTUAL jitted steps on the attached backend (slope
+between 1- and 5-step chains, states rethreaded through the donated
+arguments, batches pre-generated on device) and reports MFU directly.
 
 Reference hot loop being audited: /root/reference/magvit2_pytorch/
 trainer.py:332-446 (train_step: generator accum loop + discriminator step).
@@ -93,6 +97,8 @@ def main():
     ap.add_argument('--remat', default='dots')
     ap.add_argument('--measured-gen-s', type=float, default=None)
     ap.add_argument('--measured-discr-s', type=float, default=None)
+    ap.add_argument('--measure', action='store_true',
+                    help='time the jitted steps on the attached backend')
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
@@ -129,6 +135,61 @@ def main():
           f'backend={jax.default_backend()}')
 
     gen_fn = trainer._gen_step_fn(True)
+    discr_fn = trainer._discr_step_fn(True)
+
+    if args.measure:
+        import time
+
+        make_batch = jax.jit(lambda k: jax.random.uniform(
+            k, (A, B, args.frames, args.image_size, args.image_size, 3),
+            jnp.float32).astype(jnp.dtype(trainer.policy.compute_dtype)))
+        n_warm, n_short, n_long = 1, 1, 5
+        bs = [make_batch(jax.random.PRNGKey(i))
+              for i in range(2 * (n_warm + n_short + n_long))]
+        jax.block_until_ready(bs)
+        rng0 = jax.random.PRNGKey(0)
+        step0 = jnp.int32(0)
+        bi = [0]
+
+        def next_batch():
+            bi[0] += 1
+            return bs[bi[0] - 1]
+
+        def slope(one, s0):
+            # states are rethreaded: the steps donate their state trees
+            # (and the batch), so each call consumes the previous call's
+            # outputs and a fresh batch from `bs` — nothing is reused
+            def timed(n, s):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    s = one(s)
+                jax.block_until_ready(s)
+                return time.perf_counter() - t0, s
+            _, s = timed(n_warm, s0)      # compile + warm
+            t_s, s = timed(n_short, s)
+            t_l, s = timed(n_long, s)
+            return (t_l - t_s) / (n_long - n_short), s
+
+        dtree0 = trainer._discr_tree()
+
+        def gen_one(s):
+            p, o, e, _ = gen_fn(s[0], s[1], s[2], dtree0['discr'],
+                                dtree0['multiscale'], tok.vgg_params,
+                                next_batch(), rng0, step0)
+            return (p, o, e)
+
+        args.measured_gen_s, gen_state = slope(
+            gen_one, (tok.params, trainer.opt_state, trainer.ema_params))
+        params_for_discr = gen_state[0]
+
+        def discr_one(s):
+            d, do, _ = discr_fn(s[0], s[1], params_for_discr,
+                                next_batch(), rng0)
+            return (d, do)
+
+        args.measured_discr_s, _ = slope(
+            discr_one, (dtree0, trainer.discr_opt_state))
+
     gf, gb = _audit(
         'generator step (fwd+bwd+adam+ema, adversarial on)', gen_fn,
         _sds(tok.params), _sds(trainer.opt_state), _sds(trainer.ema_params),
