@@ -136,7 +136,14 @@ def main():
             t_long = run(args.n_long, 2)
             break
         except Exception as e:  # noqa: BLE001
-            if 'RESOURCE_EXHAUSTED' in str(e) and args.batch > 8:
+            # the remote-compile tunnel surfaces HBM OOM as an INTERNAL
+            # JaxRuntimeError whose text says "Ran out of memory", not as
+            # RESOURCE_EXHAUSTED — match both so OOM steps the batch down
+            # instead of being misread as a kernel-compile failure
+            is_oom = ('RESOURCE_EXHAUSTED' in str(e)
+                      or 'Ran out of memory' in str(e)
+                      or 'Exceeded hbm capacity' in str(e))
+            if is_oom and args.batch > 8:
                 args.batch = args.batch * 3 // 4 // 8 * 8
                 print(f'# OOM, retrying with batch {args.batch}',
                       file=sys.stderr)
