@@ -163,7 +163,14 @@ def main():
                 t0 = time.perf_counter()
                 for _ in range(n):
                     s = one(s)
-                jax.block_until_ready(s)
+                # a real host fetch, not block_until_ready: through the
+                # remote-TPU tunnel block_until_ready can return before
+                # execution finishes (observed: 25 ms "measured" vs a
+                # 340 ms memory roofline). Device programs execute in
+                # order, so fetching one scalar of the final state waits
+                # for every enqueued step; the slope cancels its cost.
+                leaf = jax.tree.leaves(s)[0]
+                float(jnp.reshape(leaf, (-1,))[0].astype(jnp.float32))
                 return time.perf_counter() - t0, s
             _, s = timed(n_warm, s0)      # compile + warm
             t_s, s = timed(n_short, s)
