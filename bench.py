@@ -139,12 +139,20 @@ def main():
             # the remote-compile tunnel surfaces HBM OOM as an INTERNAL
             # JaxRuntimeError whose text says "Ran out of memory", not as
             # RESOURCE_EXHAUSTED — match both so OOM steps the batch down
-            # instead of being misread as a kernel-compile failure
-            is_oom = ('RESOURCE_EXHAUSTED' in str(e)
-                      or 'Ran out of memory' in str(e)
-                      or 'Exceeded hbm capacity' in str(e))
+            # instead of being misread as a kernel-compile failure. Pallas
+            # VMEM/SMEM exhaustion ("Ran out of memory in memory space
+            # vmem") is batch-independent: route it to the fused-kernel
+            # fallback, not the batch step-down.
+            msg = str(e)
+            is_kernel_oom = ('memory space vmem' in msg
+                             or 'memory space smem' in msg
+                             or 'VMEM' in msg)
+            is_oom = (not is_kernel_oom
+                      and ('RESOURCE_EXHAUSTED' in msg
+                           or 'Ran out of memory' in msg
+                           or 'Exceeded hbm capacity' in msg))
             if is_oom and args.batch > 8:
-                args.batch = args.batch * 3 // 4 // 8 * 8
+                args.batch = max(8, args.batch * 3 // 4 // 8 * 8)
                 print(f'# OOM, retrying with batch {args.batch}',
                       file=sys.stderr)
                 shape = (args.batch, args.frames, args.image_size,

@@ -94,22 +94,20 @@ def attend(
             and not exists(prev_attn)) else 'xla'
     assert not (backend == 'flash' and exists(prev_attn)), (
         'residual attention not compatible with flash attention')
-    if exists(attn_bias) or exists(prev_attn):
-        if backend == 'flash':
-            # the Pallas kernel has no bias tile yet; an explicit flash
-            # request must not silently lose the kernel (ADVICE r2) — fail
-            # loudly so the caller can drop the bias or switch backends.
-            raise NotImplementedError(
-                "backend='flash' with attn_bias is not supported by the "
-                "Pallas kernel yet — use backend='xla' (or 'auto', which "
-                 'routes biased attention to XLA automatically)')
+    if exists(prev_attn):
         backend = 'xla'
 
     if backend == 'flash' and not exists(mask):
+        # the Pallas kernel carries an additive-bias tile (differentiable,
+        # broadcast-aware) matching the reference's biased-SDPA path
+        # (attend.py:149-167). 'auto' still routes biased attention to XLA —
+        # the per-row bias slab adds O(n*m) HBM reads, which erodes flash's
+        # advantage at the sizes where auto would pick it.
         from magvit2_pytorch_tpu.ops.pallas.flash_attention import flash_attention
         if layout == 'bnhd':
             q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        out = flash_attention(q, k, v, causal=causal, scale=scale)
+        out = flash_attention(q, k, v, causal=causal, scale=scale,
+                              bias=attn_bias)
         if layout == 'bnhd':
             out = out.transpose(0, 2, 1, 3)
         return out

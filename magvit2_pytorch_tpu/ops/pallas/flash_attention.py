@@ -48,15 +48,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale: float,
                   causal: bool, kv_len: int, offset: int, block_q: int,
-                  block_k: int):
+                  block_k: int, has_bias: bool):
     """One (bh, q-block) program. q_ref: (1, block_q, d); k_ref/v_ref:
     (1, m_pad, d); o_ref: (1, block_q, d); lse_ref: (1, 1, block_q) —
     the per-row logsumexp saved for the Pallas backward. lse rides in a
     (bh, 1, n_pad) array because TPU block specs need the trailing two block
     dims to tile as (8k, 128k) or equal the array dims — (1, block_q) on a
-    2-D (bh, n_pad) array is not lowerable."""
+    2-D (bh, n_pad) array is not lowerable. With ``has_bias`` an extra
+    bias_ref (1, block_q, m_pad) precedes the outputs: the additive
+    pre-softmax bias of reference attend.py:149-167, sliced per k-block."""
+    if has_bias:
+        bias_ref, o_ref, lse_ref = rest
+    else:
+        o_ref, lse_ref = rest
+        bias_ref = None
     qi = pl.program_id(1)
     d = q_ref.shape[-1]
     m_pad = k_ref.shape[1]
@@ -79,6 +86,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (block_q, block_k)
+        if has_bias:
+            s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(
+                jnp.float32)
 
         col_ids = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
@@ -102,7 +112,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     lse_ref[0, 0] = m + jnp.log(l)
 
 
-def _flash_forward(q, k, v, causal: bool, scale: float,
+def _pad_bias(bias, n, m, n_pad, m_pad):
+    """(G, n, m) -> (G, n_pad, m_pad); padded cells are dead (validity mask)."""
+    if n_pad != n or m_pad != m:
+        bias = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, m_pad - m)))
+    return bias
+
+
+def _flash_forward(q, k, v, bias, causal: bool, scale: float,
                    block_q: int, block_k: int, interpret: bool):
     b, h, n, d = q.shape
     m = k.shape[-2]
@@ -123,21 +140,32 @@ def _flash_forward(q, k, v, causal: bool, scale: float,
 
     grid = (b * h, n_pad // block_q)
 
+    has_bias = bias is not None
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, kf, vf]
+    if has_bias:
+        g = bias.shape[0]  # b*h, or h broadcast over batch via index map
+        bias = _pad_bias(bias, n, m, n_pad, m_pad)
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, m_pad), lambda bh, qi: (bh % g, qi, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(bias)
+
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal, kv_len=m, offset=offset,
-        block_q=block_q, block_k=block_k)
+        block_q=block_q, block_k=block_k, has_bias=has_bias)
 
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -154,15 +182,23 @@ def _flash_forward(q, k, v, causal: bool, scale: float,
             transcendentals=b * h * n_pad * m_pad,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(*operands)
 
     return out[:, :n].reshape(b, h, n, d), lse
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
                    scale: float, causal: bool, kv_len: int, offset: int,
-                   block_q: int, block_k: int):
-    """dQ for one (bh, q-block): stream k-blocks, recompute P row-block."""
+                   block_q: int, block_k: int, has_bias: bool):
+    """dQ for one (bh, q-block): stream k-blocks, recompute P row-block.
+    With ``has_bias``: bias_ref (1, block_q, m_pad) joins the recompute and
+    a dbias_ref (1, block_q, m_pad) output collects dS tiles — d_bias = dS
+    exactly (s = qk*scale + bias, so ∂s/∂bias = 1)."""
+    if has_bias:
+        bias_ref, dq_ref, dbias_ref = rest
+    else:
+        (dq_ref,) = rest
+        bias_ref = dbias_ref = None
     qi = pl.program_id(1)
     d = q_ref.shape[-1]
     m_pad = k_ref.shape[1]
@@ -183,6 +219,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(
+                jnp.float32)
 
         col_ids = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
@@ -195,6 +234,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (block_q, block_k)
         ds = p * (dp - delta[:, None])
+        if has_bias:
+            dbias_ref[0, :, pl.ds(kb * block_k, block_k)] = ds.astype(
+                dbias_ref.dtype)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -205,10 +247,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale: float, causal: bool,
+                    *rest, scale: float, causal: bool,
                     kv_len: int, q_len: int, offset: int, block_q: int,
-                    block_k: int):
+                    block_k: int, has_bias: bool):
     """dK/dV for one (bh, k-block): stream q-blocks, recompute P^T."""
+    if has_bias:
+        bias_ref, dk_ref, dv_ref = rest
+    else:
+        dk_ref, dv_ref = rest
+        bias_ref = None
     ki = pl.program_id(1)
     d = q_ref.shape[-1]
     n_pad = q_ref.shape[1]
@@ -230,6 +277,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (block_q, block_k)
+        if has_bias:
+            s = s + bias_ref[0, pl.ds(qb * block_q, block_q), :].astype(
+                jnp.float32)
 
         row_ids = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
@@ -257,13 +307,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, out, lse, g, causal: bool, scale: float,
+def _flash_backward(q, k, v, bias, out, lse, g, causal: bool, scale: float,
                     block_q: int, block_k: int, interpret: bool):
     b, h, n, d = q.shape
     m = k.shape[-2]
     offset = m - n
     n_pad = _round_up(n, block_q)
     m_pad = _round_up(m, block_k)
+    has_bias = bias is not None
 
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, m, d)
@@ -286,52 +337,90 @@ def _flash_backward(q, k, v, out, lse, g, causal: bool, scale: float,
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
 
+    gdim = bias.shape[0] if has_bias else 0
+    if has_bias:
+        bias_p = _pad_bias(bias, n, m, n_pad, m_pad)
+
     dq_kernel = functools.partial(
         _bwd_dq_kernel, scale=scale, causal=causal, kv_len=m, offset=offset,
-        block_q=block_q, block_k=block_k)
-    dq = pl.pallas_call(
+        block_q=block_q, block_k=block_k, has_bias=has_bias)
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq_operands = [qf, kf, vf, dof, lse, delta]
+    dq_out_specs = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                                memory_space=pltpu.VMEM)
+    dq_out_shape = jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype)
+    if has_bias:
+        dq_in_specs.append(pl.BlockSpec(
+            (1, block_q, m_pad), lambda bh, qi: (bh % gdim, qi, 0),
+            memory_space=pltpu.VMEM))
+        dq_operands.append(bias_p)
+        # d_bias = dS, materialized per (bh, q-block) row slab. O(n*m) HBM —
+        # unavoidable: d_bias itself is (n, m)-shaped.
+        dq_out_specs = (dq_out_specs, pl.BlockSpec(
+            (1, block_q, m_pad), lambda bh, qi: (bh, qi, 0),
+            memory_space=pltpu.VMEM))
+        dq_out_shape = (dq_out_shape, jax.ShapeDtypeStruct(
+            (b * h, n_pad, m_pad), jnp.float32))
+    dq_out = pl.pallas_call(
         dq_kernel,
         grid=(b * h, n_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, d), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        in_specs=dq_in_specs,
+        out_specs=dq_out_specs,
+        out_shape=dq_out_shape,
         interpret=interpret,
-    )(qf, kf, vf, dof, lse, delta)
+    )(*dq_operands)
+    dbias = None
+    if has_bias:
+        dq, dbias_full = dq_out
+        dbias = dbias_full[:, :n, :m]                    # (b*h, n, m)
+        if gdim != b * h:
+            # forward read bias[bh % gdim]: cotangent sums the groups that
+            # shared each slice (bh = q*gdim + r -> group index r)
+            dbias = dbias.reshape(b * h // gdim, gdim, n, m).sum(axis=0)
+        dbias = dbias.astype(bias.dtype)
+    else:
+        dq = dq_out
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, scale=scale, causal=causal, kv_len=m, q_len=n,
-        offset=offset, block_q=block_q, block_k=block_k)
+        offset=offset, block_q=block_q, block_k=block_k, has_bias=has_bias)
+    dkv_in_specs = [
+        pl.BlockSpec((1, n_pad, d), lambda bh, ki: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, d), lambda bh, ki: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pad), lambda bh, ki: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pad), lambda bh, ki: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dkv_operands = [qf, kf, vf, dof, lse, delta]
+    if has_bias:
+        dkv_in_specs.append(pl.BlockSpec(
+            (1, n_pad, block_k), lambda bh, ki: (bh % gdim, 0, ki),
+            memory_space=pltpu.VMEM))
+        dkv_operands.append(bias_p)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(b * h, m_pad // block_k),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, d), lambda bh, ki: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda bh, ki: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda bh, ki: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda bh, ki: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=dkv_in_specs,
         out_specs=(
             pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
@@ -343,30 +432,31 @@ def _flash_backward(q, k, v, out, lse, g, causal: bool, scale: float,
             jax.ShapeDtypeStruct((b * h, m_pad, d), v.dtype),
         ),
         interpret=interpret,
-    )(qf, kf, vf, dof, lse, delta)
+    )(*dkv_operands)
 
     dq = dq[:, :n].reshape(b, h, n, d)
     dk = dk[:, :m].reshape(b, h, m, d)
     dv = dv[:, :m].reshape(b, h, m, d)
-    return dq, dk, dv
+    return dq, dk, dv, dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention(q, k, v, causal, scale, block_q, block_k, interpret):
-    out, _ = _flash_forward(q, k, v, causal, scale, block_q, block_k,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, bias, causal, scale, block_q, block_k,
+                     interpret):
+    out, _ = _flash_forward(q, k, v, bias, causal, scale, block_q, block_k,
                             interpret)
     return out
 
 
-def _fwd(q, k, v, causal, scale, block_q, block_k, interpret):
-    out, lse = _flash_forward(q, k, v, causal, scale, block_q, block_k,
+def _fwd(q, k, v, bias, causal, scale, block_q, block_k, interpret):
+    out, lse = _flash_forward(q, k, v, bias, causal, scale, block_q, block_k,
                               interpret)
-    return out, (q, k, v, out, lse)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _bwd(causal, scale, block_q, block_k, interpret, residuals, g):
-    q, k, v, out, lse = residuals
-    return _flash_backward(q, k, v, out, lse, g, causal, scale,
+    q, k, v, bias, out, lse = residuals
+    return _flash_backward(q, k, v, bias, out, lse, g, causal, scale,
                            block_q, block_k, interpret)
 
 
@@ -377,13 +467,29 @@ def flash_attention(q, k, v, causal: bool = False,
                     scale: Optional[float] = None,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
-                    interpret: Optional[bool] = None):
-    """q: (b, h, n, d); k, v: (b, h, m, d) with m >= n. Returns (b, h, n, d)."""
+                    interpret: Optional[bool] = None,
+                    bias=None):
+    """q: (b, h, n, d); k, v: (b, h, m, d) with m >= n. Returns (b, h, n, d).
+
+    ``bias``: optional additive pre-softmax bias — (n, m), (h, n, m), or
+    (b, h, n, m) (reference attend.py:149-167 folds the same bias into
+    SDPA's mask). Differentiable; broadcast shapes stay unmaterialized via
+    the kernel's index map (a (h, n, m) bias is read per-head, not tiled
+    batch-times in HBM)."""
     scale = default(scale, q.shape[-1] ** -0.5)
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    n, m = q.shape[-2], k.shape[-2]
+    b, h, n, d = q.shape
+    m = k.shape[-2]
     block_q = min(block_q, _round_up(n, 128))
     block_k = min(block_k, _round_up(m, 128))
-    return _flash_attention(q, k, v, causal, scale, block_q, block_k,
+    if bias is not None:
+        if bias.ndim == 2:
+            bias = bias[None]
+        elif bias.ndim == 4:
+            assert bias.shape[:2] == (b, h), (bias.shape, q.shape)
+            bias = bias.reshape(b * h, n, m)
+        assert bias.shape[-2:] == (n, m), (bias.shape, (n, m))
+        assert bias.shape[0] in (1, h, b * h), bias.shape
+    return _flash_attention(q, k, v, bias, causal, scale, block_q, block_k,
                             interpret)

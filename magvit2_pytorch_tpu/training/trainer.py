@@ -470,6 +470,7 @@ class VideoTokenizerTrainer:
                         batches[i], keys[i])
                 grads = jax.tree.map(jnp.add, grads, g)
                 loss_sum = loss_sum + loss
+                ms = breakdown.multiscale_gen_losses
                 micro = {
                     'recon_loss': breakdown.recon_loss,
                     'perceptual_loss': breakdown.perceptual_loss,
@@ -477,6 +478,9 @@ class VideoTokenizerTrainer:
                     'adaptive_adversarial_weight':
                         breakdown.adaptive_adversarial_weight,
                     'lfq_aux_loss': breakdown.lfq_aux_loss,
+                    'multiscale_gen_loss': (
+                        sum(ms) / len(ms) if len(ms) > 0
+                        else jnp.zeros((), jnp.float32)),
                 }
                 metric_sums = micro if metric_sums is None else jax.tree.map(
                     jnp.add, metric_sums, micro)
@@ -527,6 +531,7 @@ class VideoTokenizerTrainer:
             loss_sum = 0.0
             discr_loss_sum = 0.0
             gp_sum = 0.0
+            ms_sum = 0.0
             for i in range(accum):
                 (loss, bd), g = jax.value_and_grad(
                     micro_loss, has_aux=True)(discr_tree, params, batches[i],
@@ -535,6 +540,9 @@ class VideoTokenizerTrainer:
                 loss_sum = loss_sum + loss
                 discr_loss_sum = discr_loss_sum + bd.discr_loss
                 gp_sum = gp_sum + bd.gradient_penalty
+                if len(bd.multiscale_discr_losses) > 0:
+                    ms_sum = ms_sum + sum(bd.multiscale_discr_losses) / len(
+                        bd.multiscale_discr_losses)
             grads = jax.tree.map(lambda g: g / accum, grads)
 
             updates, new_opt_state = optimizer.update(
@@ -545,6 +553,9 @@ class VideoTokenizerTrainer:
                 'discr_loss': discr_loss_sum / accum,
                 'gradient_penalty': gp_sum / accum,
                 'total_discr_loss': loss_sum / accum,
+                'multiscale_discr_loss': ms_sum / accum
+                if len(model.multiscale_discrs) > 0
+                else jnp.zeros((), jnp.float32),
             }
             return new_tree, new_opt_state, metrics
 

@@ -288,3 +288,41 @@ def test_tensor_parallel_matches_data_parallel(tmp_path):
 
     # (b) TP really partitions: strictly more collectives than pure DP
     assert coll_tp > coll_dp, (coll_tp, coll_dp)
+
+
+class SyntheticImages:
+    """In-memory images dataset: items are (H, W, C) like ImageDataset
+    (data/datasets.py ImageDataset.__getitem__)."""
+
+    def __init__(self, n=24, size=SIZE, c=3, seed=0):
+        rng = np.random.default_rng(seed)
+        self.items = rng.uniform(size=(n, size, size, c)).astype(np.float32)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_trainer_images_mode(tmp_path):
+    """Regression for the r3 images-mode fix (commit 55cb66e): 4D image
+    batches must flow through _next_batches (lift to single-frame videos —
+    reference magvit2_pytorch.py:1675-1687 images-mode rearrange) into
+    train_step AND valid_step without crashing. Before the fix this raised in
+    the jitted step on the 5D stacked batch."""
+    model = _model(use_gan=False)
+    trainer = _trainer(model, tmp_path, dataset=SyntheticImages(),
+                       grad_accum_every=2, valid_frac=0.25)
+    dl_iter = cycle(trainer.dataloader)
+
+    m1 = trainer.train_step(dl_iter)
+    m2 = trainer.train_step(dl_iter)
+    assert np.isfinite(m1['total_loss']) and np.isfinite(m2['total_loss'])
+
+    # validation over 4D batches: recon losses, PSNR/utilization aggregation,
+    # and the 4D->5D GIF-grid lift (trainer.py valid_step ndim==4 branch)
+    valid_iter = cycle(trainer.valid_dataloader)
+    recon_loss, ema_loss = trainer.valid_step(valid_iter)
+    assert np.isfinite(recon_loss) and np.isfinite(ema_loss)
+    assert len(list((tmp_path / 'results').glob('*.gif'))) == 1
