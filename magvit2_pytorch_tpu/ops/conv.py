@@ -61,6 +61,49 @@ def _maybe_explicit_pad(x, pads, pad_mode: str):
     return jnp.pad(x, full, mode=mode)
 
 
+# -- int8 inference path ------------------------------------------------------
+#
+# v5e's MXU runs int8 at 394 TOPS — 2x the 197 bf16 TFLOPS that cap the
+# flagship roundtrip at ~2055 fps (tools/flop_audit.py). The env gate
+# MAGVIT2_TPU_INT8_CONV=1 switches every CausalConv3d to dynamic int8:
+# per-tensor activation scale (absmax/127, computed on the fly), per-output-
+# channel weight scale, s8 x s8 -> s32 conv, dequantized back to the compute
+# dtype before bias/nonlinearity. Inference-only (the straight-through
+# quantization here is NOT a QAT path); recon deviates from bf16 by the
+# quantization noise — measured in tools/int8_bench.py, not silently
+# substituted into the headline bench.
+
+
+def int8_conv_enabled(c_in: int = 128, c_out: int = 128) -> bool:
+    """Gate: int8 engages only where the MXU actually runs int8 fast.
+    Measured on v5e (tools/int8_probe.py): s8xs8->s32 conv is 1.85x bf16 at
+    C>=128 but 0.96x (a slight LOSS) at C=64 — the sub-128-lane stage gains
+    nothing from int8, so it stays bf16 and keeps full fidelity."""
+    import os
+    return (os.environ.get('MAGVIT2_TPU_INT8_CONV', '') == '1'
+            and min(c_in, c_out) >= 128)
+
+
+def _quantize_per_tensor(x):
+    """x -> (int8 x, f32 scale). Symmetric absmax; scale guards against
+    all-zero tensors."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127,
+                  127).astype(jnp.int8)
+    return xq, scale
+
+
+def _quantize_per_channel_out(kernel):
+    """kernel (..., F) -> (int8 kernel, f32 (F,) scales) over the output-
+    channel (minor) axis."""
+    k32 = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k32), axis=tuple(range(kernel.ndim - 1)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    kq = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
+    return kq, scale
+
+
 # -- lane packing (w-blocked layout) ------------------------------------------
 #
 # TPU vector lanes are 128 wide and the MXU is 128x128; a stage with C < 128
@@ -266,11 +309,26 @@ class CausalConv3d(nn.Module):
             kernel = jnp.pad(
                 kernel, [(0, 0)] * (kernel.ndim - 1) + [(0, out_pad)])
 
+        use_int8 = (int8_conv_enabled(c_in, self.features) and not streaming
+                    and self.pad_mode in ('constant', 'zeros'))
+
         def do_conv(xi):
             if unfold_taps > 1:
                 t_out = xi.shape[1] - (unfold_taps - 1)
                 xi = jnp.concatenate(
                     [xi[:, i:i + t_out] for i in range(unfold_taps)], axis=-1)
+            if use_int8:
+                xq, xs = _quantize_per_tensor(xi)
+                kq, ks = _quantize_per_channel_out(kernel)
+                acc = jax.lax.conv_general_dilated(
+                    xq, kq,
+                    window_strides=(self.stride, 1, w_strides[1]),
+                    padding=padding,
+                    rhs_dilation=(self.dilation, 1, 1),
+                    dimension_numbers=DN_3D,
+                    preferred_element_type=jnp.int32,
+                )
+                return (acc.astype(jnp.float32) * (xs * ks)).astype(dtype)
             return jax.lax.conv_general_dilated(
                 xi, kernel,
                 window_strides=(self.stride, 1, w_strides[1]),
@@ -322,12 +380,24 @@ class Conv3d1x1(nn.Module):
             kb = jnp.zeros((2 * c_in, 2 * f), dtype)
             kb = kb.at[:c_in, :f].set(kernel).at[c_in:, f:].set(kernel)
             kernel, f = kb, 2 * f
-        out = jax.lax.conv_general_dilated(
-            x, kernel.reshape(1, 1, 1, kernel.shape[0], f),
-            window_strides=(1, 1, 1),
-            padding=[(0, 0)] * 3,
-            dimension_numbers=DN_3D,
-        )
+        if int8_conv_enabled(c_in, self.features):
+            xq, xs = _quantize_per_tensor(x)
+            kq, ks = _quantize_per_channel_out(kernel)
+            acc = jax.lax.conv_general_dilated(
+                xq, kq.reshape(1, 1, 1, kernel.shape[0], f),
+                window_strides=(1, 1, 1),
+                padding=[(0, 0)] * 3,
+                dimension_numbers=DN_3D,
+                preferred_element_type=jnp.int32,
+            )
+            out = (acc.astype(jnp.float32) * (xs * ks)).astype(dtype)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x, kernel.reshape(1, 1, 1, kernel.shape[0], f),
+                window_strides=(1, 1, 1),
+                padding=[(0, 0)] * 3,
+                dimension_numbers=DN_3D,
+            )
         if bias is not None:
             if w_blocked:
                 bias = jnp.concatenate([bias, bias])

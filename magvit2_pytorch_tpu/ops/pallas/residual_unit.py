@@ -119,7 +119,13 @@ def _block_diag2(k):
 
 def _kernel(x_ref, wm_ref, cb_ref, w1_ref, pb_ref, k2_ref, kb_ref,
             gi_ref, gib_ref, go_ref, gob_ref, o_ref, ringE, ringO, logits,
-            *, H: int, W2: int, C: int, R: int):
+            *, H: int, W2: int, C: int, R: int, packed_io: bool = True):
+    """``packed_io=False``: x_ref/o_ref blocks carry the UNPACKED
+    (1, 1, H, W, C) layout; the pack to the (W2, C2) pair layout happens in
+    VMEM via in-kernel reshapes (vector shuffles), so the XLA-level HBM
+    relayout that made unpacked engagement a net loss (r3: 1175 -> 1077 fps)
+    never exists. The flattened row x_flat[h, w*C + c] is IDENTICAL for both
+    views, so all interior math is unchanged."""
     C2 = 2 * C
     M = H * W2
     W2h = W2 // 2
@@ -181,7 +187,10 @@ def _kernel(x_ref, wm_ref, cb_ref, w1_ref, pb_ref, k2_ref, kb_ref,
                      preferred_element_type=jnp.float32)
         lg = lg.astype(dtype) + kb_ref[0]
         logits[:, pl.ds(h0 * W2, R * W2)] = lg.astype(jnp.float32).T
-        o_ref[0, 0, pl.ds(h0, R)] = comb
+        if packed_io:
+            o_ref[0, 0, pl.ds(h0, R)] = comb
+        else:
+            o_ref[0, 0, pl.ds(h0, R)] = comb.reshape(R, 2 * W2, C)
 
     jax.lax.fori_loop(0, H // R, chunk, None, unroll=False)
 
@@ -202,9 +211,14 @@ def _kernel(x_ref, wm_ref, cb_ref, w1_ref, pb_ref, k2_ref, kb_ref,
     # broadcast on sub-tile vectors
     z = gt32.astype(dtype) + gob_ref[0]
     gates = 1.0 / (1.0 + jnp.exp(-z))                    # (1, C)
-    gates2 = jnp.concatenate([gates, gates], axis=-1).reshape(1, 1, C2)
+    if packed_io:
+        gates_b = jnp.concatenate([gates, gates], axis=-1).reshape(1, 1, C2)
+    else:
+        # both phases share the gate, so the unpacked (H, W, C) view needs
+        # only the plain per-channel broadcast
+        gates_b = gates.reshape(1, 1, C)
     # gating + residual in one in-place pass (no layout change needed)
-    o_ref[0, 0] = o_ref[0, 0] * gates2 + x_ref[0, 0]
+    o_ref[0, 0] = o_ref[0, 0] * gates_b + x_ref[0, 0]
 
 
 # -- XLA twin (VJP recompute target + oracle) ---------------------------------
@@ -260,20 +274,23 @@ def fused_eligible(x, dim: int, kernel_size, streaming: bool,
                    w_blocked: bool) -> bool:
     """Static gate for the fused kernel on the product path.
 
-    Engaged by default only from the lane-packed layout (w_blocked,
-    (..., W/2, 2C)), where neighbors already produce/consume the packed
-    form and the kernel is boundary-free. From the default unpacked layout
-    the kernel itself wins (8.0 vs 10.5 ms/apply at the flagship shape) but
-    the XLA relayouts at the pack boundary cost more than it saves when the
-    unit is isolated (measured: 1175 -> 1077 fps e2e at batch 8), so the
-    unpacked path requires opting in via MAGVIT2_TPU_FUSED_RU_UNPACKED=1."""
+    Engaged only from the lane-packed layout (w_blocked, (..., W/2, 2C)),
+    where neighbors already produce/consume the packed form and the kernel
+    is boundary-free. The unpacked (B,T,H,W,C) layout is NOT engaged on TPU:
+    r3 measured XLA pack-boundary relayouts costing more than the kernel
+    saves (1175 -> 1077 fps), and the r4 packed_io=False mode (pack in VMEM)
+    fails to lower — Mosaic rejects the (H, W, C) -> (H, W*C) shape cast
+    ("infer-vector-layout: unsupported shape cast", 2026-08-19). The
+    unpacked 64-ch stage instead uses the XLA w-pair im2col lowering in
+    ops/conv.py (c128-efficiency conv, 1.33x logical FLOPs, no layout
+    boundary). packed_io=False remains exercised in interpret mode by
+    tests/test_fused_residual.py against the twin."""
     import os
 
     from magvit2_pytorch_tpu.utils.helpers import cast_tuple
     if os.environ.get('MAGVIT2_TPU_NO_FUSED_RU', '') == '1':
         return False    # bench/debug kill switch
-    if not w_blocked and os.environ.get(
-            'MAGVIT2_TPU_FUSED_RU_UNPACKED', '') != '1':
+    if not w_blocked:
         return False
     if streaming:
         return False
@@ -304,15 +321,23 @@ def fused_eligible(x, dim: int, kernel_size, streaming: bool,
     return jax.default_backend() == 'tpu'
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def fused_residual_unit(xb, conv_k, conv_b, pw_k, pw_b,
                         tok_k, tok_b, gi_k, gi_b, go_k, go_b,
-                        interpret: bool = False):
+                        interpret: bool = False, packed_io: bool = True):
     """Blocked-layout fused ResidualUnit. xb: (B, T, H, W2, 2C) with channel
     order (phase, c); params in the reference (unblocked) layout:
-    conv_k (3,3,3,C,C), pw_k (C,C), tok_k (C,1), gi_k (C,Ch), go_k (Ch,C)."""
-    B, T, H, W2, C2 = xb.shape
-    C = C2 // 2
+    conv_k (3,3,3,C,C), pw_k (C,C), tok_k (C,1), gi_k (C,Ch), go_k (Ch,C).
+
+    ``packed_io=False``: xb is the UNPACKED (B, T, H, W, C) activation; the
+    kernel reads/writes that layout directly and repacks in VMEM — no XLA
+    boundary relayout (see _kernel docstring)."""
+    if packed_io:
+        B, T, H, W2, C2 = xb.shape
+        C = C2 // 2
+    else:
+        B, T, H, W, C = xb.shape
+        W2, C2 = W // 2, 2 * C
     dtype = xb.dtype
     R = 16 if H % 16 == 0 else 8
     hidden = gi_k.shape[1]
@@ -328,17 +353,19 @@ def fused_residual_unit(xb, conv_k, conv_b, pw_k, pw_b,
     k2 = k2.astype(dtype)
     kb2 = jnp.broadcast_to(tok_b.astype(dtype), (2,)).reshape(1, 2)
 
-    kernel = functools.partial(_kernel, H=H, W2=W2, C=C, R=R)
+    kernel = functools.partial(_kernel, H=H, W2=W2, C=C, R=R,
+                               packed_io=packed_io)
     const = lambda spec_shape: pl.BlockSpec(
         spec_shape, lambda b, t: (0,) * len(spec_shape),
         memory_space=pltpu.VMEM)
     W2h = W2 // 2
+    io_block = (1, 1, H, W2, C2) if packed_io else (1, 1, H, 2 * W2, C)
 
     y = pl.pallas_call(
         kernel,
         grid=(B, T),
         in_specs=[
-            pl.BlockSpec((1, 1, H, W2, C2),
+            pl.BlockSpec(io_block,
                          lambda b, t: (b, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             const((9 * 2 * C2, C2)),
@@ -352,10 +379,10 @@ def fused_residual_unit(xb, conv_k, conv_b, pw_k, pw_b,
             const((hidden, C)),
             const((1, C)),
         ],
-        out_specs=pl.BlockSpec((1, 1, H, W2, C2),
+        out_specs=pl.BlockSpec(io_block,
                                lambda b, t: (b, t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, H, W2, C2), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T) + io_block[2:], dtype),
         input_output_aliases={0: 0},
         scratch_shapes=[
             pltpu.VMEM((3, H + 2, W2h, 2 * C2), dtype),    # even-parity ring
@@ -379,16 +406,27 @@ def fused_residual_unit(xb, conv_k, conv_b, pw_k, pw_b,
 
 
 def _fwd(xb, conv_k, conv_b, pw_k, pw_b, tok_k, tok_b, gi_k, gi_b,
-         go_k, go_b, interpret):
+         go_k, go_b, interpret, packed_io):
     out = fused_residual_unit(xb, conv_k, conv_b, pw_k, pw_b, tok_k, tok_b,
-                              gi_k, gi_b, go_k, go_b, interpret)
+                              gi_k, gi_b, go_k, go_b, interpret, packed_io)
     return out, (xb, conv_k, conv_b, pw_k, pw_b, tok_k, tok_b,
                  gi_k, gi_b, go_k, go_b)
 
 
-def _bwd(interpret, residuals, g):
-    _, vjp = jax.vjp(_residual_unit_xla_blocked, *residuals)
-    return vjp(g)
+def _bwd(interpret, packed_io, residuals, g):
+    if packed_io:
+        _, vjp = jax.vjp(_residual_unit_xla_blocked, *residuals)
+        return vjp(g)
+    # unpacked I/O: the XLA recompute twin is blocked-layout; round-trip
+    # through the (free-in-logical-terms) reshape. The backward therefore
+    # pays the XLA relayout the forward avoids — training with the unpacked
+    # kernel engaged is correct but not the fast path.
+    xb, *rest = residuals
+    shp = xb.shape
+    xbb = xb.reshape(*shp[:3], shp[3] // 2, 2 * shp[4])
+    _, vjp = jax.vjp(_residual_unit_xla_blocked, xbb, *rest)
+    grads = vjp(g.reshape(xbb.shape))
+    return (grads[0].reshape(shp),) + tuple(grads[1:])
 
 
 fused_residual_unit.defvjp(_fwd, _bwd)

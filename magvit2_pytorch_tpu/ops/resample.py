@@ -70,12 +70,27 @@ class SpatialDownsample2x(nn.Module):
         else:
             strides, wp = (1, 2, 2), (k // 2, k // 2)
 
-        out = jax.lax.conv_general_dilated(
-            x, kernel,
-            window_strides=strides,
-            padding=[(0, 0), (k // 2, k // 2), wp],
-            dimension_numbers=DN_3D,
-        )
+        from magvit2_pytorch_tpu.ops.conv import (
+            _quantize_per_channel_out, _quantize_per_tensor,
+            int8_conv_enabled)
+        if int8_conv_enabled(c_in, dim_out):
+            xq, xs = _quantize_per_tensor(x)
+            kq, ks = _quantize_per_channel_out(kernel)
+            acc = jax.lax.conv_general_dilated(
+                xq, kq,
+                window_strides=strides,
+                padding=[(0, 0), (k // 2, k // 2), wp],
+                dimension_numbers=DN_3D,
+                preferred_element_type=jnp.int32,
+            )
+            out = (acc.astype(jnp.float32) * (xs * ks)).astype(x.dtype)
+        else:
+            out = jax.lax.conv_general_dilated(
+                x, kernel,
+                window_strides=strides,
+                padding=[(0, 0), (k // 2, k // 2), wp],
+                dimension_numbers=DN_3D,
+            )
         return out + bias.astype(x.dtype)
 
 
@@ -182,9 +197,21 @@ class SpatialUpsample2x(nn.Module):
         kt = kernel.reshape(c_in, dim_out, 2, 2).transpose(2, 3, 0, 1)
         kt = kt[None].astype(x.dtype)                    # (1,2,2,cin,cout)
 
-        out = jax.lax.conv_transpose(
-            x, kt, strides=(1, 2, 2), padding='VALID',
-            dimension_numbers=DN_3D)
+        from magvit2_pytorch_tpu.ops.conv import (
+            _quantize_per_channel_out, _quantize_per_tensor,
+            int8_conv_enabled)
+        if int8_conv_enabled(c_in, dim_out):
+            xq, xs = _quantize_per_tensor(x)
+            kq, ks = _quantize_per_channel_out(kt)
+            acc = jax.lax.conv_transpose(
+                xq, kq, strides=(1, 2, 2), padding='VALID',
+                dimension_numbers=DN_3D,
+                preferred_element_type=jnp.int32)
+            out = (acc.astype(jnp.float32) * (xs * ks)).astype(x.dtype)
+        else:
+            out = jax.lax.conv_transpose(
+                x, kt, strides=(1, 2, 2), padding='VALID',
+                dimension_numbers=DN_3D)
 
         # position-dependent bias: slot (p1,p2,c) tiles over the 2x2 grid
         btile = bias.reshape(dim_out, 2, 2).transpose(1, 2, 0).astype(x.dtype)
@@ -253,13 +280,14 @@ class _ResidualUnitInner(nn.Module):
                 self.dim, name='conv_pointwise')._params(self.dim)
             (tok_k, tok_b), (gi_k, gi_b), (go_k, go_b) = SqueezeExcite(
                 self.dim, name='se')._params(self.dim)
-            xb = x if w_blocked else x.reshape(
-                *x.shape[:3], x.shape[3] // 2, 2 * x.shape[4])
-            out = fused_residual_unit(
-                xb, conv_k, conv_b, pw_k, pw_b, tok_k, tok_b,
+            # unpacked input engages the kernel's packed_io=False mode: the
+            # pack to pair layout happens in VMEM (r4) — the XLA boundary
+            # relayout that made unpacked engagement a net loss is gone
+            return fused_residual_unit(
+                x, conv_k, conv_b, pw_k, pw_b, tok_k, tok_b,
                 gi_k, gi_b, go_k, go_b,
-                jax.default_backend() != 'tpu')   # interpret off-TPU (tests)
-            return out if w_blocked else out.reshape(x.shape)
+                jax.default_backend() != 'tpu',   # interpret off-TPU (tests)
+                w_blocked)                        # packed_io
         x = CausalConv3d(self.dim, self.kernel_size, pad_mode=self.pad_mode,
                          name='conv')(x, streaming=streaming,
                                       w_blocked_in=w_blocked,

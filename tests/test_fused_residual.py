@@ -136,3 +136,36 @@ def test_vjp_exact_vs_twin():
     for k in gp_f:
         np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_t[k]),
                                    rtol=1e-2, atol=1e-3, err_msg=k)
+
+
+@pytest.mark.parametrize('dtype', [jnp.float32, jnp.bfloat16])
+def test_kernel_unpacked_io_matches_packed(dtype):
+    """packed_io=False (r4): the kernel consumes/produces the UNPACKED
+    (B,T,H,W,C) layout, packing in VMEM — results must equal the packed
+    kernel on the w-blocked view of the same data, and its VJP must equal
+    grads through the twin (mod the forward's reduction-order delta)."""
+    p = _params(jax.random.PRNGKey(11), dtype)
+    x = (jax.random.normal(jax.random.PRNGKey(12), (2, 3, 16, 8, C))
+         .astype(dtype))
+
+    got = fused_residual_unit(x, *_args(p), True, False)   # unpacked io
+    want = w_unblock(fused_residual_unit(w_block(x), *_args(p), True))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def loss_unpacked(x, p):
+        return jnp.sum(fused_residual_unit(x, *_args(p), True, False)
+                       .astype(jnp.float32) ** 2)
+
+    def loss_twin(x, p):
+        out = w_unblock(_residual_unit_xla_blocked(w_block(x), *_args(p)))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(loss_unpacked)(x, p)
+    g2 = jax.grad(loss_twin)(x, p)
+    # bf16: the incoming cotangent (2*out) carries the kernel-vs-twin
+    # forward reduction-order delta, which the conv then amplifies on a few
+    # elements — compare against the gradient's own scale
+    a1, a2 = np.asarray(g1, np.float32), np.asarray(g2, np.float32)
+    scale = np.abs(a2).max()
+    tol = 2e-3 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(a1 / scale, a2 / scale, atol=tol)

@@ -75,6 +75,8 @@ def main():
 
     fused = jax.jit(lambda xb, p: fused_residual_unit(
         xb, *[p[k] for k in order]))
+    fused_unpacked = jax.jit(lambda x, p: fused_residual_unit(
+        x, *[p[k] for k in order], False, False))  # interpret, packed_io
     blocked = jax.jit(lambda xb, p: _residual_unit_xla_blocked(
         xb, *[p[k] for k in order]))
 
@@ -123,8 +125,15 @@ def main():
     # logical (unblocked) useful FLOPs: conv27C + 1x1 + SE (tiny)
     M = B * T * H * W
     flops = 2 * M * C * (27 * C + C + 1 + 0)  # conv + pointwise + to_k
+    # correctness of the unpacked-io mode on the real TPU lowering
+    ofu = np.asarray(w_block(fused_unpacked(x, params)).astype(jnp.float32))
+    err_u = np.max(np.abs(ofu - ob))
+    print(f'max|fused_unpacked-blocked| = {err_u:.4e} (rel {err_u/scale:.3e})')
+
     rows = []
-    for nm, fn, xin in [('fused', fused, xb), ('xla-blocked', blocked, xb)]:
+    for nm, fn, xin in [('fused', fused, xb),
+                        ('fused-unpack', fused_unpacked, x),
+                        ('xla-blocked', blocked, xb)]:
         sec = chain(fn, xin)
         rows.append((nm, sec))
         print(f'{nm:12s} {sec * 1e3:8.3f} ms/apply   '

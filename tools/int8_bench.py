@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Measured int8 inference path on the flagship roundtrip (VERDICT r3 #2).
+
+Runs the README-default tokenizer encode+decode with MAGVIT2_TPU_INT8_CONV=1
+(dynamic per-tensor activation / per-out-channel weight int8 convs,
+ops/conv.py) and reports:
+
+  - frames/sec/chip int8 vs bf16 (same slope-timed chained measurement as
+    bench.py)
+  - fidelity vs the bf16 path: code-index agreement and recon PSNR/max-dev
+    (the north-star's `recon deviation <= 1e-3` contract is defined for the
+    bf16 path; int8 trades it for throughput — this prints the actual trade)
+
+Usage: python tools/int8_bench.py [--batch 128] [--no-fused-ru]
+"""
+
+import argparse
+import functools
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slope_bench(apply_fn, params, video, n_short=2, n_long=10):
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def chained(params, v, n):
+        def body(i, vv):
+            recon, _ = apply_fn(params, vv)
+            return recon + 1e-6 * i
+        return jax.lax.fori_loop(0, n, body, v)
+
+    def run(n, seed):
+        v = video * (1.0 + 1e-6 * seed)
+        t0 = time.perf_counter()
+        out = chained(params, v, n)
+        float(np.asarray(out[:1, :1, :1, :1]).astype(np.float32).sum())
+        return time.perf_counter() - t0
+
+    run(n_short, 0)
+    t_s = run(n_short, 1)
+    t_l = run(n_long, 2)
+    return (t_l - t_s) / (n_long - n_short)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=128)
+    ap.add_argument('--frames', type=int, default=17)
+    ap.add_argument('--image-size', type=int, default=128)
+    ap.add_argument('--no-fused-ru', action='store_true',
+                    help='disable the bf16 fused ResidualUnit kernel in the '
+                         'int8 run so the 64-ch stage uses int8 convs too')
+    args = ap.parse_args()
+
+    from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
+    from magvit2_pytorch_tpu.models import VideoTokenizer
+
+    tok = VideoTokenizer(
+        **readme_video_tokenizer_kwargs(
+            image_size=args.image_size, use_gan=False,
+            perceptual_loss_weight=0.0),
+        seed=0)
+    module = tok.module
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        tok.params)
+
+    rng = np.random.default_rng(0)
+    shape = (args.batch, args.frames, args.image_size, args.image_size, 3)
+    video = jnp.asarray(rng.uniform(size=shape).astype(np.float32),
+                        jnp.bfloat16)
+    small = video[:min(8, args.batch)]
+
+    def apply_fn(p, v):
+        return module.apply({'params': p}, v)
+
+    results = {}
+    for mode in ('bf16', 'int8'):
+        if mode == 'int8':
+            os.environ['MAGVIT2_TPU_INT8_CONV'] = '1'
+            if args.no_fused_ru:
+                os.environ['MAGVIT2_TPU_NO_FUSED_RU'] = '1'
+        else:
+            os.environ.pop('MAGVIT2_TPU_INT8_CONV', None)
+        jax.clear_caches()  # the int8 gate is read at trace time
+
+        per_iter = slope_bench(apply_fn, params, video)
+        fps = args.batch * args.frames / per_iter
+        recon, qout = jax.jit(apply_fn)(params, small)
+        results[mode] = dict(
+            fps=fps, recon=np.asarray(recon, np.float32),
+            codes=np.asarray(qout.indices))
+        print(f'{mode}: {fps:.1f} frames/sec/chip '
+              f'({per_iter*1e3:.1f} ms/iter, batch {args.batch})', flush=True)
+
+    b, i8 = results['bf16'], results['int8']
+    agree = float((b['codes'] == i8['codes']).mean())
+    dev = np.abs(b['recon'] - i8['recon'])
+    mse = float(np.mean((np.clip(b['recon'], 0, 1)
+                         - np.clip(i8['recon'], 0, 1)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    print(f'speedup: {i8["fps"] / b["fps"]:.3f}x')
+    print(f'code-index agreement int8 vs bf16: {agree * 100:.2f}%')
+    print(f'recon deviation: max {dev.max():.4f}, mean {dev.mean():.5f}, '
+          f'PSNR(bf16 recon, int8 recon) {psnr:.1f} dB')
+
+
+if __name__ == '__main__':
+    main()

@@ -25,18 +25,27 @@ DN_3D = jax.lax.ConvDimensionNumbers(
     out_spec=(0, 4, 1, 2, 3))
 
 
-def bench(fn, *args, n_short=2, n_long=10):
-    """Slope timing over chained iterations (see bench.py)."""
+def bench(fn, x0, *rest, n_short=2, n_long=10):
+    """Slope timing over chained iterations with a REAL serial dependency:
+    the first operand is recycled from each iteration's output (cast back to
+    the input dtype), so XLA cannot hoist the compute out of the loop (the
+    first version of this probe produced negative slopes — the loop body was
+    loop-invariant and ran once)."""
     @jax.jit
-    def chained(n, *args):
-        def body(i, acc):
-            out = fn(*args)
-            return acc + out.reshape(-1)[:1].astype(jnp.float32) * 1e-9
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((1,), jnp.float32))
+    def chained(n, x, *rest):
+        def body(i, v):
+            out = fn(v, *rest)
+            out = out.reshape(v.shape)
+            if v.dtype == jnp.int8:
+                return jax.lax.rem(out, jnp.asarray(121, out.dtype)).astype(
+                    jnp.int8)
+            return out.astype(v.dtype) * 1e-3
+        return jax.lax.fori_loop(0, n, body, x)
 
     def run(n):
         t0 = time.perf_counter()
-        float(np.asarray(chained(n, *args))[0])
+        out = chained(n, x0, *rest)
+        float(np.asarray(out.reshape(-1)[:1]).astype(np.float32).sum())
         return time.perf_counter() - t0
 
     run(n_short)
