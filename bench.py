@@ -152,15 +152,24 @@ def main():
                            or 'Ran out of memory' in msg
                            or 'Exceeded hbm capacity' in msg))
             if is_oom and args.batch > 8:
-                args.batch = max(8, args.batch * 3 // 4 // 8 * 8)
-                print(f'# OOM, retrying with batch {args.batch}',
+                # after a real HBM OOM the tunnel runtime can stay poisoned
+                # (every later allocation fails too, observed 2026-08-19:
+                # a genuine batch-128 OOM cascaded failures down to batch 8)
+                # — re-exec in a FRESH process instead of retrying in this one
+                new_batch = max(8, args.batch * 3 // 4 // 8 * 8)
+                print(f'# OOM, re-executing with batch {new_batch}',
                       file=sys.stderr)
-                shape = (args.batch, args.frames, args.image_size,
-                         args.image_size, 3)
-                gen = jax.jit(
-                    lambda k: jax.random.uniform(
-                        k, shape, jnp.float32).astype(dtype))
-                continue
+                sys.stderr.flush()
+                os.execv(sys.executable, [
+                    sys.executable, os.path.abspath(__file__),
+                    '--batch', str(new_batch),
+                    '--frames', str(args.frames),
+                    '--image-size', str(args.image_size),
+                    '--n-short', str(args.n_short),
+                    '--n-long', str(args.n_long),
+                    '--dtype', args.dtype,
+                    '--lane-pack', args.lane_pack,
+                ])
             if not fused_fallback_done:
                 fused_fallback_done = True
                 print(f'# compile/run failed ({type(e).__name__}); '

@@ -171,6 +171,69 @@ def _w_block_kernel_in_down2(kernel):
     return wb, (-lo, hi)
 
 
+# -- MXU-occupancy conv lowerings (r4) ----------------------------------------
+#
+# tools/stem_bench.py + tools/int8_probe.py measured the flagship's three
+# slowest convs as pure lowering problems, not FLOP problems:
+#   conv_out (3^3, 64->3):       12.25 ms @  1% of peak  (3-lane output)
+#   interior 3^3 c64 convs:       7.70 ms @ 32% of peak  (64-lane contraction)
+#   c128 convs for comparison:            @ 85% of peak
+# Both fixes below re-express the conv as a c>=96-wide MXU conv in plain XLA
+# (no Pallas, no persistent layout change, structural zeros in the kernel):
+#
+# * w-pair im2col: x2[w] = concat(x[w], x[w+1]) (one XLA concat), kernel
+#   (kt, kh, 2, 2C, F) — 1.33x logical FLOPs at full-contraction efficiency.
+# * output space-to-depth: a G-strided conv emitting G positions x F channels
+#   per step ((kt, kh, G+kw-1, C, G*F) kernel), so a 3-channel head becomes a
+#   96-lane output; (G+2)/3 x logical FLOPs of a tiny total.
+#
+# Gated to TPU (MAGVIT2_TPU_NO_CONV_TRICKS=1 kills; _FORCE_CONV_TRICKS=1
+# engages off-TPU for tests) — they permute reduction order, and the CPU
+# test suite asserts bit-exact streaming-vs-whole-clip equality.
+
+
+def _conv_tricks_enabled() -> bool:
+    import os
+    if os.environ.get('MAGVIT2_TPU_NO_CONV_TRICKS', '') == '1':
+        return False
+    if os.environ.get('MAGVIT2_TPU_FORCE_CONV_TRICKS', '') == '1':
+        return True
+    return jax.default_backend() == 'tpu'
+
+
+def _wpair_kernel(kernel):
+    """(kt, kh, 3, C, F) -> (kt, kh, 2, 2C, F) kernel over the w-paired
+    input x2[w] = [x[w], x[w+1]]: tap k2=0 reads x2[w-1], k2=1 reads x2[w].
+    1/4 structural zeros -> 1.33x logical FLOPs."""
+    kt, kh, kw, c, f = kernel.shape
+    assert kw == 3
+    k2 = jnp.zeros((kt, kh, 2, 2 * c, f), kernel.dtype)
+    k2 = k2.at[:, :, 0, :c].set(kernel[:, :, 0])    # x[w-1]
+    k2 = k2.at[:, :, 1, :c].set(kernel[:, :, 1])    # x[w]
+    k2 = k2.at[:, :, 1, c:].set(kernel[:, :, 2])    # x[w+1]
+    return k2
+
+
+def _w_pair(x):
+    """(B, T, H, W, C) -> (B, T, H, W, 2C): channel-concat of x and its
+    left-shifted (w+1) copy, zero at the right edge."""
+    x_sh = jnp.concatenate(
+        [x[:, :, :, 1:], jnp.zeros_like(x[:, :, :, :1])], axis=3)
+    return jnp.concatenate([x, x_sh], axis=-1)
+
+
+def _cout_block_kernel(kernel, G: int):
+    """(kt, kh, kw, C, F) -> (kt, kh, G+kw-1, C, G*F): a G-strided conv
+    whose output channel j*F+c is original output (w = G*u + j, channel c).
+    Structural zeros outside 0 <= k - j <= kw-1."""
+    kt, kh, kw, c, f = kernel.shape
+    kb = jnp.zeros((kt, kh, G + kw - 1, c, G * f), kernel.dtype)
+    for j in range(G):
+        kb = jax.lax.dynamic_update_slice(
+            kb, kernel, (0, 0, j, 0, j * f))
+    return kb
+
+
 def _w_block_kernel_out(kernel):
     """Rearrange ``(kt, kh, kw, ci, f)`` into the blocked-OUTPUT kernel
     ``(kt, kh, kw+1, ci, 2f)``: a stride-2-in-w conv over the UNBLOCKED input
@@ -214,6 +277,43 @@ class CausalConv3d(nn.Module):
                  if cache_init is not None else None)
         return kernel, bias, cache
 
+    def _mxu_lowering(self, x, kernel, bias, time_pad, hp):
+        """MXU-occupancy lowerings (module comment above _conv_tricks_enabled):
+        returns the conv output, or None when neither scheme applies. bf16
+        only — these paths skip the int8 gate (their lane widths are already
+        the thing being fixed)."""
+        kt, kh, kw, c_in, f = kernel.shape
+        W = x.shape[3]
+        dtype = x.dtype
+        tstrides = (self.stride, 1)
+        tdil = (self.dilation, 1, 1)
+        base_pad = [(time_pad, 0), (hp, hp)]
+
+        if f < 8 and c_in >= 8:
+            # tiny head (conv_out): output space-to-depth — emit G positions
+            # x f channels per G-strided step (12.25 -> ~3.5 ms measured at
+            # the flagship shape, tools/stem_bench.py)
+            G = next((g for g in (32, 16, 8)
+                      if W % g == 0 and g * f <= 128), 0)
+            if G:
+                kb = _cout_block_kernel(kernel, G)
+                out = jax.lax.conv_general_dilated(
+                    x, kb, window_strides=tstrides + (G,),
+                    padding=base_pad + [(kw // 2, kw // 2)],
+                    rhs_dilation=tdil, dimension_numbers=DN_3D)
+                out = out.reshape(*out.shape[:3], W, f)
+                if bias is not None:
+                    out = out + bias.astype(dtype)
+                return out
+
+        # NOTE: a w-pair im2col variant for the 64-ch interior convs
+        # (full-width contraction, 1.33x logical FLOPs) measured SLOWER than
+        # the direct conv on v5e — 10.6 vs 7.5 ms (tools/wpair_probe.py): the
+        # 64-wide OUTPUT, not just the contraction, caps XLA's c64 conv, and
+        # pairing only fixes the input side. Removed; kept in the probe tool
+        # as the negative result.
+        return None
+
     def __call__(self, x, streaming: bool = False,
                  w_blocked_in: bool = False, w_blocked_out: bool = False):
         """``streaming=True`` carries the causal time history in a flax
@@ -248,6 +348,15 @@ class CausalConv3d(nn.Module):
         kernel, bias, cache = self._params(c_in, cache_init=cache_init)
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
+
+        if (not streaming and not w_blocked_in and not w_blocked_out
+                and self.pad_mode in ('constant', 'zeros') and kw == 3
+                and not (kt > 1 and self.stride == 1 and self.dilation == 1
+                         and c_in * kt <= 32)     # tiny-C_in unfold wins there
+                and _conv_tricks_enabled()):
+            out = self._mxu_lowering(x, kernel, bias, time_pad, hp)
+            if out is not None:
+                return out
 
         w_strides = (1, 1)
         if w_blocked_in:                     # blocked -> blocked, w stride 1

@@ -131,3 +131,83 @@ def test_blur_space_only_matches_2d_filter():
     ref = F.conv2d(xt, kt, groups=2).numpy().reshape(2, 3, 2, 6, 6).transpose(0, 1, 3, 4, 2)
 
     np.testing.assert_allclose(_np(out), ref, atol=2e-5)
+
+
+class TestMxuLowerings:
+    """r4 MXU-occupancy conv lowerings (ops/conv.py module comment): w-pair
+    im2col for 64-ch convs and output space-to-depth for the tiny head.
+    Forced on via MAGVIT2_TPU_FORCE_CONV_TRICKS (they are TPU-gated) and
+    compared against the plain lowering."""
+
+    def _compare(self, monkeypatch, module, x, **kw):
+        import jax
+
+        params = module.init(jax.random.PRNGKey(0), x, **kw)
+        monkeypatch.setenv('MAGVIT2_TPU_NO_CONV_TRICKS', '1')
+        want = module.apply(params, x, **kw)
+        monkeypatch.delenv('MAGVIT2_TPU_NO_CONV_TRICKS')
+        monkeypatch.setenv('MAGVIT2_TPU_FORCE_CONV_TRICKS', '1')
+        jax.clear_caches()
+        got = module.apply(params, x, **kw)
+        monkeypatch.delenv('MAGVIT2_TPU_FORCE_CONV_TRICKS')
+        jax.clear_caches()
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-5, atol=2e-5)
+        return got
+
+    def test_wpair_interior_conv(self, monkeypatch):
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 3, 8, 10, 64)) * 0.5,
+            jnp.float32)
+        self._compare(monkeypatch, CausalConv3d(64, (3, 3, 3)), x)
+
+    def test_wpair_strided_dilated(self, monkeypatch):
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 6, 8, 10, 64)),
+            jnp.float32)
+        self._compare(monkeypatch,
+                      CausalConv3d(96, (3, 3, 3), stride=2), x)
+        self._compare(monkeypatch,
+                      CausalConv3d(96, (3, 3, 3), dilation=2), x)
+
+    def test_cout_block_head(self, monkeypatch):
+        # W=16 -> G=16 (16*3=48 lanes); W=24 -> G=8
+        for w in (16, 24):
+            x = jnp.asarray(
+                np.random.default_rng(2).normal(size=(1, 3, 8, w, 64)),
+                jnp.float32)
+            self._compare(monkeypatch, CausalConv3d(3, (3, 3, 3)), x)
+
+    def test_cout_block_indivisible_width_falls_back(self, monkeypatch):
+        # W=10: no admissible G — must silently use the plain path
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(1, 3, 8, 10, 64)),
+            jnp.float32)
+        self._compare(monkeypatch, CausalConv3d(3, (3, 3, 3)), x)
+
+    def test_wpair_downsample(self, monkeypatch):
+        from magvit2_pytorch_tpu.ops.resample import SpatialDownsample2x
+        x = jnp.asarray(
+            np.random.default_rng(4).normal(size=(1, 3, 8, 12, 64)),
+            jnp.float32)
+        self._compare(monkeypatch, SpatialDownsample2x(64, 128), x)
+
+    def test_wpair_vs_reference_oracle(self, monkeypatch):
+        """The forced lowering must still match the torch reference conv
+        semantics (causal pad, reference kernel layout)."""
+        monkeypatch.setenv('MAGVIT2_TPU_FORCE_CONV_TRICKS', '1')
+        import jax
+        jax.clear_caches()
+        try:
+            x = jnp.asarray(
+                np.random.default_rng(5).normal(size=(1, 4, 8, 8, 64)),
+                jnp.float32)
+            mod = CausalConv3d(64, (3, 3, 3))
+            params = mod.init(jax.random.PRNGKey(1), x)
+            out = mod.apply(params, x)
+            assert out.shape == (1, 4, 8, 8, 64)
+            assert np.isfinite(np.asarray(out)).all()
+        finally:
+            monkeypatch.delenv('MAGVIT2_TPU_FORCE_CONV_TRICKS')
+            jax.clear_caches()
