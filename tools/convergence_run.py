@@ -38,6 +38,11 @@ def main():
     ap.add_argument('--train-items', type=int, default=512)
     ap.add_argument('--probe', type=int, default=64)
     ap.add_argument('--lr', type=float, default=3e-4)
+    ap.add_argument(
+        '--inv-temperature', type=float, default=None,
+        help='override lfq_entropy_inv_temperature (parity default 100 '
+             'saturates the diversity gradient — see tokenizer_module.py '
+             'config comment; ~4-10 keeps it alive)')
     ap.add_argument('--out', default='results/convergence_config1.json')
     args = ap.parse_args()
 
@@ -52,7 +57,10 @@ def main():
           f'{args.steps} steps, batch {args.batch}, lr {args.lr}, '
           f'backend={jax.default_backend()}', flush=True)
 
-    tok = VideoTokenizer(**images_mode_tokenizer_kwargs(), seed=0)
+    overrides = {}
+    if args.inv_temperature is not None:
+        overrides['lfq_entropy_inv_temperature'] = args.inv_temperature
+    tok = VideoTokenizer(**images_mode_tokenizer_kwargs(**overrides), seed=0)
     size = tok.config.image_size
     data = _textures(args.train_items, size, seed=1)
     probe = jnp.asarray(_textures(args.probe, size, seed=2)[:, None])
@@ -80,11 +88,13 @@ def main():
             util = float(codebook_utilization(
                 jnp.asarray(np.asarray(codes).reshape(-1)), K))
             dt = (time.perf_counter() - t_last) / max(args.every, 1) * 1e3
-            row = dict(step=step, train_recon=float(recon_tr),
+            row = dict(step=step,
+                       train_recon=(float(recon_tr)
+                                    if np.isfinite(recon_tr) else None),
                        valid_mse=float(mse), valid_psnr=float(p),
                        codebook_utilization=util, ms_per_step=round(dt, 1))
             curves.append(row)
-            print(f"| {step} | {row['train_recon']:.4f} | "
+            print(f"| {step} | {float(recon_tr):.4f} | "
                   f"{row['valid_mse']:.4f} | {row['valid_psnr']:.2f} | "
                   f"{util:.3f} | {dt:.0f} |", flush=True)
             t_last = time.perf_counter()
@@ -98,6 +108,7 @@ def main():
     out.write_text(json.dumps(dict(
         config='baseline_config1_images64_lfq512',
         steps=args.steps, batch=args.batch, lr=args.lr,
+        inv_temperature=args.inv_temperature,
         backend=jax.default_backend(), curves=curves), indent=1))
     print(f'# wrote {out}')
 

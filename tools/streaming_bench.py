@@ -10,8 +10,10 @@ This measures, on the attached backend:
 2. the kv_window bound (needs a time-attention layer, so a config-5 variant
    with 'attend_time'): per-chunk latency and HBM growth over a LONG stream
    (4x the nominal clip) with kv_window unset vs kv_window=16 — the
-   unbounded kv cache grows linearly (recompiling at every new cache shape);
-   the bounded one reaches a fixed shape and stays there.
+   unbounded kv cache grows linearly AND recompiles at every new cache
+   shape (~20 s/chunk through the tunnel compiler), while the bounded one
+   reaches a fixed cache shape after the window fills: steady sub-ms
+   chunks, constant memory.
 
 Usage: python tools/streaming_bench.py [--frames 65] [--long-frames 257]
 """
@@ -36,14 +38,20 @@ def device_mb():
         return float('nan')
 
 
-def time_chunks(session_fn, chunks, warm_chunk=None):
-    """Per-chunk wall latency; first call of each shape compiles (excluded
-    by passing a warm_chunk of the steady shape first)."""
+def fetch(out):
+    """Force a REAL host fetch: through the remote-TPU tunnel,
+    block_until_ready can return before execution finishes (observed:
+    '65 frames in 7 ms'); fetching one scalar waits for every enqueued
+    program (device programs execute in order)."""
+    return float(np.asarray(out).reshape(-1)[:1].astype(np.float32).sum())
+
+
+def time_chunks(session_fn, chunks):
+    """Per-chunk wall latency; first call of each shape compiles."""
     lat = []
     for c in chunks:
         t0 = time.perf_counter()
-        out = session_fn(c)
-        jax.block_until_ready(out)
+        fetch(session_fn(c))
         lat.append(time.perf_counter() - t0)
     return lat
 
@@ -97,9 +105,9 @@ def main():
     # warm: run one full stream to compile every chunk shape
     sess = StreamingSession(tok)
     codes = [sess.encode_chunk(c) for c in chunks]
-    jax.block_until_ready(codes[-1])
+    fetch(codes[-1])
     dec_warm = [sess.decode_chunk(c) for c in codes]
-    jax.block_until_ready(dec_warm[-1])
+    fetch(dec_warm[-1])
 
     sess2 = StreamingSession(tok)
     sess2._jit_cache = sess._jit_cache  # reuse compiles
@@ -107,7 +115,7 @@ def main():
     sess3 = StreamingSession(tok)
     sess3._jit_cache = sess._jit_cache
     codes = [sess3.encode_chunk(c) for c in chunks]
-    jax.block_until_ready(codes[-1])
+    fetch(codes[-1])
     dec_lat = time_chunks(sess3.decode_chunk, codes)
 
     total = sum(enc_lat) + sum(dec_lat)
@@ -126,11 +134,9 @@ def main():
         recon, _ = tok.module.apply({'params': params}, v)
         return recon
 
-    out = roundtrip(tok.params, video)
-    jax.block_until_ready(out)
+    fetch(roundtrip(tok.params, video))
     t0 = time.perf_counter()
-    out = roundtrip(tok.params, video)
-    jax.block_until_ready(out)
+    fetch(roundtrip(tok.params, video * (1.0 + 1e-6)))
     t_clip = time.perf_counter() - t0
     print(f'whole-clip roundtrip: {args.batch*args.frames/t_clip:.1f} '
           f'frames/sec; device memory {device_mb():.0f} MB')
@@ -158,8 +164,7 @@ def main():
         mem = []
         for c in chunks:
             t0 = time.perf_counter()
-            out = sess.encode_chunk(c)
-            jax.block_until_ready(out)
+            fetch(sess.encode_chunk(c))
             lat.append(time.perf_counter() - t0)
             mem.append(device_mb())
         n = len(lat)
