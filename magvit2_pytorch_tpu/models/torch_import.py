@@ -21,11 +21,15 @@ norm layers are validated end-to-end against the actual reference model run on
 CPU (tests/test_torch_parity.py).
 
 Discriminator weights convert via ``load_torch_discr_state_dict`` (the main
-image discriminator; reference multiscale discriminators are arbitrary user
-modules and stay unconverted). Adam moments from a reference trainer ``.pt``
-package (trainer.py:291-310) convert via ``generator_adam_moments`` /
-``discr_adam_moments`` — moments share their param's shape, so each converts
-with the same per-tensor transform as its weight.
+image discriminator). Reference multiscale discriminators are arbitrary user
+modules; ``load_torch_multiscale_discr_state_dict`` converts them BEST-EFFORT
+when they are instances of the reference's own ``Discriminator`` class (the
+common case) — anything else fails key-lookup and the caller keeps its
+initialized params. Adam moments from a reference trainer ``.pt`` package
+(trainer.py:291-310) convert via ``generator_adam_moments`` /
+``discr_adam_moments`` / ``multiscale_discr_adam_moments`` — moments share
+their param's shape, so each converts with the same per-tensor transform as
+its weight.
 """
 
 from __future__ import annotations
@@ -459,6 +463,45 @@ def discr_adam_moments(model_state: Mapping, opt_state: Mapping):
         model_state, opt_state, discr_param_order(model_state))
     mu = load_torch_discr_state_dict(exp_avg)
     nu = load_torch_discr_state_dict(exp_avg_sq)
+    return mu, nu, count
+
+
+def multiscale_discr_indices(state: Mapping) -> list:
+    """Scale indices ``i`` with ``multiscale_discrs.{i}.`` keys present in a
+    reference ``model.state_dict()`` (reference registers them as a
+    ModuleList, magvit2_pytorch.py:1433)."""
+    idxs = set()
+    for k in state:
+        if k.startswith('multiscale_discrs.'):
+            idxs.add(int(k.split('.')[1]))
+    return sorted(idxs)
+
+
+def load_torch_multiscale_discr_state_dict(state: Mapping, index: int) -> dict:
+    """Best-effort conversion of reference multiscale discriminator ``index``
+    into the rebuild's ``MultiscaleDiscriminator`` param tree (the flax child
+    ``discr`` wraps a reference-layout ``Discriminator``).
+
+    The reference accepts ARBITRARY user Modules here
+    (magvit2_pytorch.py:1085,1433); this converter handles the common case —
+    the user passed the reference's own ``Discriminator`` — and raises
+    ``KeyError``/``AssertionError`` on anything else, which callers treat as
+    'keep initialized params'."""
+    return {'discr': load_torch_discr_state_dict(
+        state, prefix=f'multiscale_discrs.{index}.')}
+
+
+def multiscale_discr_adam_moments(model_state: Mapping, opt_state: Mapping,
+                                  index: int):
+    """Multiscale-discriminator optimizer ``index`` (reference
+    trainer.py:209-217: one Adam per scale, saved as
+    ``multiscale_discr_optimizer_{i}``, trainer.py:307-308) ->
+    ``(mu, nu, count)`` in the rebuild's multiscale param-tree structure."""
+    prefix = f'multiscale_discrs.{index}.'
+    exp_avg, exp_avg_sq, count = _moment_state_dicts(
+        model_state, opt_state, discr_param_order(model_state, prefix=prefix))
+    mu = {'discr': load_torch_discr_state_dict(exp_avg, prefix=prefix)}
+    nu = {'discr': load_torch_discr_state_dict(exp_avg_sq, prefix=prefix)}
     return mu, nu, count
 
 

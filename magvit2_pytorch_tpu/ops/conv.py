@@ -282,6 +282,8 @@ class CausalConv3d(nn.Module):
         returns the conv output, or None when neither scheme applies. bf16
         only — these paths skip the int8 gate (their lane widths are already
         the thing being fixed)."""
+        import os
+
         kt, kh, kw, c_in, f = kernel.shape
         W = x.shape[3]
         dtype = x.dtype
@@ -289,22 +291,35 @@ class CausalConv3d(nn.Module):
         tdil = (self.dilation, 1, 1)
         base_pad = [(time_pad, 0), (hp, hp)]
 
+        G = 0
         if f < 8 and c_in >= 8:
             # tiny head (conv_out): output space-to-depth — emit G positions
             # x f channels per G-strided step (12.25 -> ~3.5 ms measured at
             # the flagship shape, tools/stem_bench.py)
             G = next((g for g in (32, 16, 8)
                       if W % g == 0 and g * f <= 128), 0)
-            if G:
-                kb = _cout_block_kernel(kernel, G)
-                out = jax.lax.conv_general_dilated(
-                    x, kb, window_strides=tstrides + (G,),
-                    padding=base_pad + [(kw // 2, kw // 2)],
-                    rhs_dilation=tdil, dimension_numbers=DN_3D)
-                out = out.reshape(*out.shape[:3], W, f)
-                if bias is not None:
-                    out = out + bias.astype(dtype)
-                return out
+        elif (64 <= f < 128 and W % 2 == 0
+              and os.environ.get('MAGVIT2_TPU_WPAIR_OUT') == '1'):
+            # sub-128-lane interior conv (the flagship's c64 stage, 32% of
+            # peak direct): output-PAIR lowering — emit both w-phases as 2f
+            # output channels from a w-stride-2 conv. 4/3 logical FLOPs
+            # (2 of 8 kernel w-slots are structural zeros), full-width
+            # output, NO input relayout — faster STANDALONE
+            # (tools/s2d_probe.py), but e2e the (W/2,2f)->(W,f) un-block
+            # reshape is a full-activation copy per c64 conv: batch 128
+            # OOMs and the stepped-down batch-96 run lands at 1325 fps vs
+            # 1532 unpaired (measured r4). OPT-IN only.
+            G = 2
+        if G:
+            kb = _cout_block_kernel(kernel, G)
+            out = jax.lax.conv_general_dilated(
+                x, kb, window_strides=tstrides + (G,),
+                padding=base_pad + [(kw // 2, kw // 2)],
+                rhs_dilation=tdil, dimension_numbers=DN_3D)
+            out = out.reshape(*out.shape[:3], W, f)
+            if bias is not None:
+                out = out + bias.astype(dtype)
+            return out
 
         # NOTE: a w-pair im2col variant for the 64-ch interior convs
         # (full-width contraction, 1.33x logical FLOPs) measured SLOWER than

@@ -833,11 +833,16 @@ class VideoTokenizerTrainer:
 
         import torch
 
+        import chex
+
         from magvit2_pytorch_tpu.models.torch_import import (
             discr_adam_moments,
             generator_adam_moments,
             load_torch_discr_state_dict,
+            load_torch_multiscale_discr_state_dict,
             load_torch_tokenizer_state_dict,
+            multiscale_discr_adam_moments,
+            multiscale_discr_indices,
         )
 
         pkg = torch.load(str(path), map_location='cpu', weights_only=False)
@@ -862,22 +867,56 @@ class VideoTokenizerTrainer:
         if self.has_gan:
             discr = load_torch_discr_state_dict(model_sd)
             tree = self._discr_tree()
-            if any(k.startswith('multiscale_discrs.') for k in model_sd):
+
+            # multiscale discriminators: the reference accepts arbitrary user
+            # Modules, so import is BEST-EFFORT per scale — converted when the
+            # torch weights are reference-`Discriminator`-shaped AND match the
+            # rebuild's initialized tree (structure + shapes); otherwise that
+            # scale keeps its init with a warning. Per-scale Adam moments
+            # (pkg['multiscale_discr_optimizer_{i}'], reference
+            # trainer.py:307-308) import only alongside their weights.
+            ms_params = list(tree['multiscale'])
+            ms_mu = [jax.tree.map(jnp.zeros_like, p) for p in ms_params]
+            ms_nu = [jax.tree.map(jnp.zeros_like, p) for p in ms_params]
+            torch_scales = multiscale_discr_indices(model_sd)
+            if len(torch_scales) > len(ms_params):
                 warnings.warn(
-                    'reference multiscale discriminator weights are user '
-                    'modules and are not imported; keeping initialized '
-                    'multiscale params')
+                    f'checkpoint has {len(torch_scales)} multiscale '
+                    f'discriminators but the trainer only has '
+                    f'{len(ms_params)}; extra scales are ignored')
+            for i, cur in enumerate(ms_params):
+                if i not in torch_scales:
+                    continue
+                try:
+                    cand = jax.tree.map(
+                        jnp.asarray,
+                        load_torch_multiscale_discr_state_dict(model_sd, i))
+                    chex.assert_trees_all_equal_shapes(cand, cur)
+                except Exception as e:  # noqa: BLE001 — any shape/key mismatch
+                    warnings.warn(
+                        f'multiscale discriminator {i} is not reference-'
+                        f'Discriminator-shaped or does not match the '
+                        f'configured scale ({type(e).__name__}); keeping '
+                        f'initialized params')
+                    continue
+                ms_params[i] = cand
+                opt_key = f'multiscale_discr_optimizer_{i}'
+                if opt_key in pkg:
+                    mmu, mnu, _ = multiscale_discr_adam_moments(
+                        model_sd, pkg[opt_key], i)
+                    ms_mu[i] = jax.tree.map(jnp.asarray, mmu)
+                    ms_nu[i] = jax.tree.map(jnp.asarray, mnu)
+
             tree = {'discr': jax.tree.map(jnp.asarray, discr),
-                    'multiscale': tree['multiscale']}
+                    'multiscale': tuple(ms_params)}
             self._set_discr_tree(replicate(tree, self.mesh))
             dmu, dnu, dcount = discr_adam_moments(
                 model_sd, pkg['discr_optimizer'])
-            zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
             self.discr_opt_state = replicate(
                 _fill_adam_state(
                     self.discr_opt_state,
-                    {'discr': dmu, 'multiscale': zeros(tree['multiscale'])},
-                    {'discr': dnu, 'multiscale': zeros(tree['multiscale'])},
+                    {'discr': dmu, 'multiscale': tuple(ms_mu)},
+                    {'discr': dnu, 'multiscale': tuple(ms_nu)},
                     dcount),
                 self.mesh)
 

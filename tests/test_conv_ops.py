@@ -186,6 +186,25 @@ class TestMxuLowerings:
             jnp.float32)
         self._compare(monkeypatch, CausalConv3d(3, (3, 3, 3)), x)
 
+    def test_output_pair_interior_odd_width_falls_back(self, monkeypatch):
+        # r4 output-pair lowering (64 <= f < 128) needs W % 2 == 0; odd W
+        # must silently use the plain path
+        monkeypatch.setenv('MAGVIT2_TPU_WPAIR_OUT', '1')
+        x = jnp.asarray(
+            np.random.default_rng(6).normal(size=(1, 3, 8, 9, 64)),
+            jnp.float32)
+        self._compare(monkeypatch, CausalConv3d(64, (3, 3, 3)), x)
+
+    def test_output_pair_interior_optin(self, monkeypatch):
+        # opt-in (MAGVIT2_TPU_WPAIR_OUT=1): even-W c64 conv takes the
+        # output-pair lowering and must match the plain path exactly
+        monkeypatch.setenv('MAGVIT2_TPU_WPAIR_OUT', '1')
+        x = jnp.asarray(
+            np.random.default_rng(7).normal(size=(2, 3, 8, 10, 64)) * 0.5,
+            jnp.float32)
+        self._compare(monkeypatch, CausalConv3d(64, (3, 3, 3)), x)
+        self._compare(monkeypatch, CausalConv3d(96, (3, 3, 3)), x)
+
     def test_wpair_downsample(self, monkeypatch):
         from magvit2_pytorch_tpu.ops.resample import SpatialDownsample2x
         x = jnp.asarray(

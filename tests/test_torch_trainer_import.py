@@ -250,6 +250,143 @@ def test_discr_adam_moments_imported(torch_pkg, loaded_trainer):
     assert int(st.count) == 2
 
 
+@pytest.fixture(scope='module')
+def ms_torch_pkg(tmp_path_factory):
+    """A reference trainer package whose tokenizer carries TWO multiscale
+    discriminators: scale 0 is the reference's own ``Discriminator`` (the
+    convertible common case), scale 1 is an arbitrary user Module (must fall
+    back to initialized params). Per-scale Adam optimizers are stepped and
+    saved as ``multiscale_discr_optimizer_{i}`` (reference trainer.py:307-308).
+    """
+    import torch
+
+    from fixtures.ref_loader import load_reference_module
+
+    ref = load_reference_module()
+    ref_opt = _load_ref_optimizer_module()
+
+    torch.manual_seed(0)
+    ms0 = ref.Discriminator(dim=4, image_size=8, max_dim=16,
+                            antialiased_downsample=True)
+    ms1 = torch.nn.Conv2d(3, 1, 3)  # arbitrary user module
+    ref_tok = ref.VideoTokenizer(
+        **TOK_KWARGS, flash_attn=False, multiscale_discrs=(ms0, ms1))
+    ref_tok.train()
+
+    gen = torch.Generator().manual_seed(1)
+    opt = ref_opt.get_optimizer(ref_tok.parameters(), lr=1e-4, wd=1e-2)
+    dopt = ref_opt.get_optimizer(ref_tok.discr_parameters(), lr=1e-4, wd=1e-2)
+    ms_opts = [ref_opt.get_optimizer(d.parameters(), lr=1e-4, wd=1e-2)
+               for d in ref_tok.multiscale_discrs]
+    for _ in range(2):
+        for p in ref_tok.parameters():
+            p.grad = torch.randn(p.shape, generator=gen)
+        for d in ref_tok.multiscale_discrs:
+            for p in d.parameters():
+                p.grad = torch.randn(p.shape, generator=gen)
+        for o in (opt, dopt, *ms_opts):
+            o.step()
+            o.zero_grad()
+
+    pkg = dict(
+        model=ref_tok.state_dict(),
+        ema_model={'initted': torch.tensor(True), 'step': torch.tensor(2),
+                   **{f'ema_model.{k}': v
+                      for k, v in ref_tok.state_dict().items()}},
+        optimizer=opt.state_dict(),
+        discr_optimizer=dopt.state_dict(),
+        warmup={}, scheduler={}, discr_warmup={}, discr_scheduler={},
+        step=5,
+    )
+    for i, o in enumerate(ms_opts):
+        pkg[f'multiscale_discr_optimizer_{i}'] = o.state_dict()
+    path = tmp_path_factory.mktemp('ms_torch_ckpt') / 'trainer.pt'
+    torch.save(pkg, str(path))
+    return dict(path=path, ref_tok=ref_tok, pkg=pkg)
+
+
+def test_multiscale_discr_import(ms_torch_pkg):
+    """Scale 0 (reference-Discriminator-shaped) imports weights + Adam
+    moments; scale 1 (arbitrary module) keeps initialized params with a
+    warning."""
+    import torch
+
+    tok = VideoTokenizer(
+        **TOK_KWARGS, seed=0,
+        multiscale_discrs=(
+            dict(dim=4, max_dim=16, downscale_factor=2),
+            dict(dim=4, max_dim=16, downscale_factor=4),
+        ))
+    rng = np.random.default_rng(0)
+    data = rng.random((16, 5, 16, 16, 3), np.float32)
+    trainer = VideoTokenizerTrainer(
+        tok, batch_size=8, num_train_steps=100, warmup_steps=10,
+        dataset=_Clips(data), valid_frac=0.0, use_wandb_tracking=False)
+    init_ms1 = jax.tree.map(np.asarray, trainer.model.multiscale_params[1])
+
+    with pytest.warns(UserWarning, match='multiscale discriminator 1'):
+        trainer.load_torch_checkpoint(ms_torch_pkg['path'])
+
+    ref_sd = ms_torch_pkg['pkg']['model']
+    want = np.asarray(
+        ref_sd['multiscale_discrs.0.blocks.0.0.conv_res.weight']
+    ).transpose(2, 3, 1, 0)
+    got = np.asarray(
+        trainer.model.multiscale_params[0]['discr']['block_0']['conv_res']
+        ['kernel'])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # scale 1 untouched
+    for a, b in zip(jax.tree.leaves(init_ms1),
+                    jax.tree.leaves(jax.tree.map(
+                        np.asarray, trainer.model.multiscale_params[1]))):
+        np.testing.assert_array_equal(a, b)
+
+    # scale-0 Adam moments landed in the multiscale slot of the discr
+    # optimizer state (multi_transform: one adam per scale + the main discr)
+    ms0_sd = ms_torch_pkg['pkg']['multiscale_discr_optimizer_0']
+    dnamed = list(ms_torch_pkg['ref_tok'].multiscale_discrs[0]
+                  .named_parameters())
+    seq = ([n for n, p in dnamed if p.ndim >= 2]
+           + [n for n, p in dnamed if p.ndim < 2])
+    idxs = [i for g in ms0_sd['param_groups'] for i in g['params']]
+    name_of = dict(zip(idxs, seq))
+    i_conv = next(i for i, n in name_of.items()
+                  if n == 'blocks.0.0.conv_res.weight')
+    want_mu = np.asarray(
+        ms0_sd['state'][i_conv]['exp_avg']).transpose(2, 3, 1, 0)
+
+    adams = _adam_states(trainer.discr_opt_state)
+    got_mus = [np.asarray(jax.tree.leaves(st.mu)[0]) for st in adams
+               if jax.tree.leaves(st.mu)]
+    match = [m for st in adams
+             for m in [_find_leaf(st.mu, ('multiscale', 0, 'discr', 'block_0',
+                                          'conv_res', 'kernel'))]
+             if m is not None]
+    assert match, f'no multiscale adam state found ({len(adams)} adams)'
+    np.testing.assert_allclose(match[0], want_mu, rtol=1e-6)
+    assert got_mus  # structure sanity
+    assert torch is not None
+
+
+def _find_leaf(tree, path):
+    """Walk ``tree`` by mixed dict-key / sequence-index path; None if any
+    step is missing (e.g. a MaskedNode from multi_transform)."""
+    import optax
+
+    cur = tree
+    for p in path:
+        if isinstance(cur, optax.MaskedNode):
+            return None
+        try:
+            cur = cur[p]
+        except (KeyError, IndexError, TypeError):
+            return None
+    if isinstance(cur, optax.MaskedNode):
+        return None
+    return np.asarray(cur)
+
+
 def test_fill_adam_state_unit():
     """_fill_adam_state reaches adam + schedule counts through clip /
     apply_if_finite nesting and leaves other leaves alone."""
