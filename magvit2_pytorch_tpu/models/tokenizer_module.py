@@ -42,7 +42,7 @@ from magvit2_pytorch_tpu.ops.basic import (
     Sequential,
     TokenShift,
 )
-from magvit2_pytorch_tpu.ops.conv import CausalConv3d, SameConv2d, w_unblock
+from magvit2_pytorch_tpu.ops.conv import CausalConv3d, SameConv2d
 from magvit2_pytorch_tpu.ops.gateloop import SimpleGateLoopLayer, ToTimeSequence
 from magvit2_pytorch_tpu.ops.norms import LayerNorm
 from magvit2_pytorch_tpu.ops.quantizers import FSQ, LFQ
@@ -527,10 +527,12 @@ class TokenizerModule(nn.Module):
             video = jnp.concatenate([outff[:, None], out], axis=1)
         else:
             packed = self.lane_pack_dec_end >= 0
+            # blocked-in conv_out emits UNPACKED pixels directly (the
+            # G-strided head lowering consumes the blocked layout; the
+            # module falls back to dense-blocked + in-graph unblock when
+            # the head trick doesn't apply) — ops/conv.py
             video = self.conv_out(x, streaming=streaming,
-                                  w_blocked_in=packed, w_blocked_out=packed)
-            if packed:
-                video = w_unblock(video)
+                                  w_blocked_in=packed)
             if video_contains_first_frame and not streaming:
                 video = video[:, tp:]
 

@@ -234,6 +234,30 @@ def _cout_block_kernel(kernel, G: int):
     return kb
 
 
+def _cout_block_kernel_bin(kernel, G: int):
+    """Blocked-INPUT variant of ``_cout_block_kernel``: consumes the
+    w-blocked layout ``(..., W/2, 2C)`` with a stride-G/2 conv over blocks
+    and emits G positions x F channels per step — output channel ``j*F + c``
+    is original output ``(w = G*u + j, channel c)``, UNPACKED after the
+    trailing reshape. Original input tap ``w_in = G*u + j + k - kw//2`` lives
+    at block tap ``du = (j+k-r)//2``, phase ``q = (j+k-r)%2``. Returns
+    (kernel ``(kt, kh, ku, 2C, G*F)``, (w2_pad_lo, w2_pad_hi))."""
+    kt, kh, kw, c, f = kernel.shape
+    r = kw // 2
+    g2 = G // 2
+    lo = (0 - r) // 2
+    hi = (G - 1 + kw - 1 - r) // 2
+    ku = hi - lo + 1
+    kb = jnp.zeros((kt, kh, ku, 2 * c, G * f), kernel.dtype)
+    for j in range(G):
+        for k in range(kw):
+            pos = j + k - r
+            du, q = pos // 2, pos % 2
+            kb = kb.at[:, :, du - lo, q * c:(q + 1) * c,
+                       j * f:(j + 1) * f].set(kernel[:, :, k])
+    return kb, (-lo, hi - (g2 - 1))
+
+
 def _w_block_kernel_out(kernel):
     """Rearrange ``(kt, kh, kw, ci, f)`` into the blocked-OUTPUT kernel
     ``(kt, kh, kw+1, ci, 2f)``: a stride-2-in-w conv over the UNBLOCKED input
@@ -345,8 +369,6 @@ class CausalConv3d(nn.Module):
         if w_blocked_in or w_blocked_out:
             assert self.pad_mode in ('constant', 'zeros'), (
                 'lane packing supports zero w-padding only')
-            assert w_blocked_in == w_blocked_out or not w_blocked_in, (
-                'blocked-in without blocked-out is unsupported')
 
         time_pad = self.dilation * (kt - 1) + (1 - self.stride)
         hp, wp = kh // 2, kw // 2
@@ -372,6 +394,34 @@ class CausalConv3d(nn.Module):
             out = self._mxu_lowering(x, kernel, bias, time_pad, hp)
             if out is not None:
                 return out
+
+        unblock_after = False
+        if w_blocked_in and not w_blocked_out:
+            # blocked-in, UNPACKED-out (the packed decode stage's conv_out):
+            # first try the G-strided output-space-to-depth head directly on
+            # the blocked layout — no XLA unblock relayout, full-lane output
+            f = self.features
+            W2b = x.shape[3]
+            W = W2b * 2
+            if (not streaming and kw == 3 and f < 8 and c_in >= 8
+                    and _conv_tricks_enabled()):
+                G = next((g for g in (32, 16, 8)
+                          if W % g == 0 and g * f <= 128
+                          and W2b % (g // 2) == 0), 0)
+                if G:
+                    kb, (plo, phi) = _cout_block_kernel_bin(kernel, G)
+                    out = jax.lax.conv_general_dilated(
+                        x, kb, window_strides=(self.stride, 1, G // 2),
+                        padding=[(time_pad, 0), (hp, hp), (plo, phi)],
+                        rhs_dilation=(self.dilation, 1, 1),
+                        dimension_numbers=DN_3D)
+                    out = out.reshape(*out.shape[:3], W, f)
+                    if bias is not None:
+                        out = out + bias.astype(dtype)
+                    return out
+            # generic fallback: dense blocked conv, unblock in-graph
+            unblock_after = True
+            w_blocked_out = True
 
         w_strides = (1, 1)
         if w_blocked_in:                     # blocked -> blocked, w stride 1
@@ -466,6 +516,8 @@ class CausalConv3d(nn.Module):
             out = out[..., :out_features]
         if bias is not None:
             out = out + bias.astype(dtype)
+        if unblock_after:
+            out = w_unblock(out)
         return out
 
 

@@ -205,6 +205,50 @@ class TestMxuLowerings:
         self._compare(monkeypatch, CausalConv3d(64, (3, 3, 3)), x)
         self._compare(monkeypatch, CausalConv3d(96, (3, 3, 3)), x)
 
+    def test_cout_blocked_in_head(self, monkeypatch):
+        # blocked-in conv_out head (r4): G-strided output space-to-depth
+        # consuming the w-blocked layout must match the plain conv on the
+        # unblocked input — both the head trick (W=32 -> G=32) and the
+        # dense+unblock fallback (W=24 -> G=8; W=20 -> no G)
+        import jax
+
+        from magvit2_pytorch_tpu.ops.conv import w_block
+
+        mod = CausalConv3d(3, (3, 3, 3))
+        for w in (32, 24, 20):
+            x = jnp.asarray(
+                np.random.default_rng(8).normal(size=(1, 3, 8, w, 64)),
+                jnp.float32)
+            params = mod.init(jax.random.PRNGKey(0), x)
+            want = mod.apply(params, x)           # plain path (tricks off)
+            monkeypatch.setenv('MAGVIT2_TPU_FORCE_CONV_TRICKS', '1')
+            jax.clear_caches()
+            got = mod.apply(params, w_block(x), w_blocked_in=True)
+            monkeypatch.delenv('MAGVIT2_TPU_FORCE_CONV_TRICKS')
+            jax.clear_caches()
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(want, np.float32),
+                rtol=2e-5, atol=2e-5)
+
+    def test_cout_blocked_in_fallback_no_tricks(self, monkeypatch):
+        # with tricks disabled the blocked-in call must take the dense
+        # blocked conv + in-graph unblock and still match
+        import jax
+
+        from magvit2_pytorch_tpu.ops.conv import w_block
+
+        mod = CausalConv3d(3, (3, 3, 3))
+        x = jnp.asarray(
+            np.random.default_rng(9).normal(size=(1, 3, 8, 32, 64)),
+            jnp.float32)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        want = mod.apply(params, x)
+        got = mod.apply(params, w_block(x), w_blocked_in=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-5, atol=2e-5)
+        assert jax is not None
+
     def test_wpair_downsample(self, monkeypatch):
         from magvit2_pytorch_tpu.ops.resample import SpatialDownsample2x
         x = jnp.asarray(

@@ -36,6 +36,9 @@ def main():
     ap.add_argument('--hw', type=int, default=128)
     ap.add_argument('--dim', type=int, default=64)
     ap.add_argument('--dtype', default='bfloat16')
+    ap.add_argument('--unpacked', action='store_true',
+                    help='also run the packed_io=False mode (fails to lower '
+                         'on current Mosaic: unsupported shape cast)')
     args = ap.parse_args()
 
     assert jax.default_backend() == 'tpu', jax.default_backend()
@@ -125,15 +128,18 @@ def main():
     # logical (unblocked) useful FLOPs: conv27C + 1x1 + SE (tiny)
     M = B * T * H * W
     flops = 2 * M * C * (27 * C + C + 1 + 0)  # conv + pointwise + to_k
-    # correctness of the unpacked-io mode on the real TPU lowering
-    ofu = np.asarray(w_block(fused_unpacked(x, params)).astype(jnp.float32))
-    err_u = np.max(np.abs(ofu - ob))
-    print(f'max|fused_unpacked-blocked| = {err_u:.4e} (rel {err_u/scale:.3e})')
+    cases = [('fused', fused, xb), ('xla-blocked', blocked, xb)]
+    if args.unpacked:
+        # correctness of the unpacked-io mode on the real TPU lowering
+        ofu = np.asarray(w_block(fused_unpacked(x, params)).astype(
+            jnp.float32))
+        err_u = np.max(np.abs(ofu - ob))
+        print(f'max|fused_unpacked-blocked| = {err_u:.4e} '
+              f'(rel {err_u/scale:.3e})')
+        cases.insert(1, ('fused-unpack', fused_unpacked, x))
 
     rows = []
-    for nm, fn, xin in [('fused', fused, xb),
-                        ('fused-unpack', fused_unpacked, x),
-                        ('xla-blocked', blocked, xb)]:
+    for nm, fn, xin in cases:
         sec = chain(fn, xin)
         rows.append((nm, sec))
         print(f'{nm:12s} {sec * 1e3:8.3f} ms/apply   '
