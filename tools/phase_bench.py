@@ -49,6 +49,8 @@ def main():
     ap.add_argument('--batch', type=int, default=128)
     ap.add_argument('--frames', type=int, default=17)
     ap.add_argument('--image-size', type=int, default=128)
+    ap.add_argument('--lane-pack', default='false',
+                    choices=['false', 'encoder', 'true'])
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
@@ -56,7 +58,9 @@ def main():
     from magvit2_pytorch_tpu.models.tokenizer_module import TokenizerModule
 
     tok = VideoTokenizer(**readme_video_tokenizer_kwargs(
-        use_gan=False, perceptual_loss_weight=0.0), seed=0)
+        use_gan=False, perceptual_loss_weight=0.0,
+        lane_pack={'false': False, 'encoder': 'encoder',
+                   'true': True}[args.lane_pack]), seed=0)
     module = tok.module
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
