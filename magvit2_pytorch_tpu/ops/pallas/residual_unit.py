@@ -51,6 +51,7 @@ forward uses the kernel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -182,11 +183,13 @@ def _kernel(x_ref, wm_ref, cb_ref, w1_ref, pb_ref, k2_ref, kb_ref,
         # interleave parities in VREGs (u = 2m + e), store once, contiguous
         comb = jnp.stack(h2s, axis=2).reshape(R, W2, C2)
         # SE logits on the interleaved chunk (bf16 matmul result + bias,
-        # then f32 — matches the XLA path's Linear -> astype(f32) order)
+        # then f32 — matches the XLA path's Linear -> astype(f32) order).
+        # Stored (M, 2) — the old (2, M) layout cost a (R*W2, 2)
+        # transpose per chunk (sublane<->lane flip)
         lg = jnp.dot(comb.reshape(R * W2, C2), k2_ref[:],
                      preferred_element_type=jnp.float32)
         lg = lg.astype(dtype) + kb_ref[0]
-        logits[:, pl.ds(h0 * W2, R * W2)] = lg.astype(jnp.float32).T
+        logits[pl.ds(h0 * W2, R * W2), :] = lg.astype(jnp.float32)
         if packed_io:
             o_ref[0, 0, pl.ds(h0, R)] = comb
         else:
@@ -195,12 +198,16 @@ def _kernel(x_ref, wm_ref, cb_ref, w1_ref, pb_ref, k2_ref, kb_ref,
     jax.lax.fori_loop(0, H // R, chunk, None, unroll=False)
 
     # --- SqueezeExcite (global over the frame) -------------------------------
-    lg = logits[...]                                     # (2, M) f32
+    lg = logits[...]                                     # (M, 2) f32
     m = jnp.max(lg)
     ex = jnp.exp(lg - m)
-    attn = (ex / jnp.sum(ex)).astype(dtype)              # (2, M)
+    attn = (ex / jnp.sum(ex)).astype(dtype)              # (M, 2)
     y = o_ref[0, 0].reshape(M, C2)
-    ctx2 = jnp.dot(attn, y, preferred_element_type=jnp.float32)  # (2, C2)
+    # ctx2[p, c] = sum_m attn[m, p] * y[m, c] — contract over M without an
+    # explicit transpose (MXU takes the contraction dim on either side)
+    ctx2 = jax.lax.dot_general(
+        attn, y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (2, C2)
     context = (ctx2[0, :C] + ctx2[1, C:]).astype(dtype).reshape(1, C)
     # tiny (1,C) dots: explicit f32 operands — Mosaic mis-verifies
     # preferred_element_type upcasts on sub-tile matmuls (f32->bf16 broadcast)
@@ -340,6 +347,8 @@ def fused_residual_unit(xb, conv_k, conv_b, pw_k, pw_b,
         W2, C2 = W // 2, 2 * C
     dtype = xb.dtype
     R = 16 if H % 16 == 0 else 8
+    if os.environ.get('MAGVIT2_TPU_RU_R32') == '1' and H % 32 == 0:
+        R = 32     # bigger per-chunk matmuls, half the loop trips (measure)
     hidden = gi_k.shape[1]
 
     wm = _build_wcat(conv_k).astype(dtype)               # (9*C2, 2*C2)
@@ -387,7 +396,7 @@ def fused_residual_unit(xb, conv_k, conv_b, pw_k, pw_b,
         scratch_shapes=[
             pltpu.VMEM((3, H + 2, W2h, 2 * C2), dtype),    # even-parity ring
             pltpu.VMEM((3, H + 2, W2h, 2 * C2), dtype),    # odd-parity ring
-            pltpu.VMEM((2, H * W2), jnp.float32),          # SE logits
+            pltpu.VMEM((H * W2, 2), jnp.float32),          # SE logits
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -1,0 +1,329 @@
+"""Fused Pallas ResidualUnit for the unpacked (native conv) layout.
+
+Covers the WIDE stages (C % 128 == 0) and, via tap-paired contractions, the
+64-channel stem stage.
+
+Target: the flagship's 128/256/512-channel ``consecutive_residual`` stages
+(reference ResidualUnit, /root/reference/magvit2_pytorch/magvit2_pytorch.py:930-944),
+which tools/layer_bench.py measures at 65-84% of MXU peak under XLA. Unlike
+the 64-channel stage (ops/pallas/residual_unit.py, lane-packed), these
+stages already fill the 128-wide MXU contraction — what caps them is the
+conv -> ELU -> 1x1 -> ELU -> SqueezeExcite -> +residual chain making ~5 HBM
+round-trips of the activation. This kernel runs the whole unit per
+(batch, frame) grid step with ONE read of x and ONE write of out, on the
+NATIVE (B, T, H, W, C) layout — no pack/unpack boundary exists, so the XLA
+relayout copies that erased the packed kernel's wins (STATUS r3/r4) cannot
+occur here.
+
+Conv scheme (exact, zero structural-zero FLOPs): the 3x3x3 conv splits into
+9 (dt, dh) taps. Per tap, ONE matmul of the full-width row slab
+(R*W, C) @ (C, 3C) against the 3 w-taps concatenated column-wise yields all
+three w-tap contributions for every output pixel; summing the 9 taps first
+(f32) and then applying the two w-shifts as sublane-sliced adds
+(acc[:, 1:] += Y[:, :-1, :C]; acc[:, :-1] += Y[:, 1:, 2C:]) reconstructs
+the conv with 27*H*W*C*C*2 FLOPs exactly — no padding columns, no
+structural zeros (the packed 64-ch kernel pays 1.33x; this pays 1.0x).
+
+Causal time taps come from a 3-slot ring buffer carried across the
+sequential (B, T) grid; the ring is (H+2)-row zero-padded (== the conv's
+spatial zero pad; causal time pad == the zeroed stale slots). ELU / 1x1 /
+SqueezeExcite (frame-global softmax context + sigmoid gate, reference
+magvit2_pytorch.py:194-240) all run in VMEM; the +x residual lands in the
+same output write (input buffer donated via input_output_aliases).
+
+Backward: custom VJP recomputing through `_residual_unit_xla_plain` — the
+math-identical XLA twin below (also the correctness oracle in
+tests/test_fused_residual_wide.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from magvit2_pytorch_tpu.ops.pallas.residual_unit import (
+    _elu, _elu_kernel, _leaky_relu)
+
+
+# -- the kernel ---------------------------------------------------------------
+
+
+def _kernel(x_ref, wm_ref, cb_ref, w1_ref, pb_ref, k1_ref, kb_ref,
+            gi_ref, gib_ref, go_ref, gob_ref, o_ref, ring, logits,
+            *, H: int, W: int, C: int, R: int, pair_taps: bool):
+    M = H * W
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    dtype = x_ref.dtype
+
+    # --- ring maintenance (frame f lives in slot f mod 3) --------------------
+    # ring[slot] is (H+2, W, C): row 1+h holds x[h]; rows 0 and H+1 stay zero
+    # (the conv's h zero-pad). w zero-pad is applied by the shifted adds.
+    @pl.when(jnp.logical_and(b == 0, t == 0))
+    def _zero_all():
+        ring[...] = jnp.zeros_like(ring)
+
+    @pl.when(jnp.logical_and(b > 0, t == 0))
+    def _zero_stale():
+        # frames -1 (slot 2) and -2 (slot 1) of the new batch element
+        z = jnp.zeros((H, W, C), dtype)
+        for s in (1, 2):
+            ring[s, 1:H + 1] = z
+
+    slot_t = jax.lax.rem(t, 3)
+    ring[slot_t, 1:H + 1] = x_ref[0, 0]
+
+    # --- conv (9 full-width K=C matmuls) + ELU + 1x1 + ELU --------------------
+    def chunk(ci, _):
+        h0 = ci * R
+        acc3 = jnp.zeros((R * W, 3 * C), jnp.float32)
+        taps = []
+        for dt in range(3):                      # tap frame t-2+dt
+            slot = jax.lax.rem(t + 1 + dt, 3)    # (t-2+dt) mod 3
+            for dh in range(3):                  # tap row h-1+dh
+                taps.append(ring[slot, pl.ds(h0 + dh, R)].reshape(R * W, C))
+        if pair_taps:
+            # C == 64: one tap alone is a K=64 contraction — half the MXU's
+            # 128-wide systolic depth idles. Concatenating tap PAIRS along
+            # channels makes K=128 full-density dots (weight rows are already
+            # stacked per-tap in wm, so a 2C row slice is the paired weight);
+            # the lone 9th tap pays half density on 1/9 of the FLOPs.
+            for ti in range(0, 8, 2):
+                v = jnp.concatenate([taps[ti], taps[ti + 1]], axis=1)
+                acc3 = acc3 + jnp.dot(
+                    v, wm_ref[ti * C:(ti + 2) * C],
+                    preferred_element_type=jnp.float32)
+            acc3 = acc3 + jnp.dot(
+                taps[8], wm_ref[8 * C:9 * C],
+                preferred_element_type=jnp.float32)
+        else:
+            for ti in range(9):
+                acc3 = acc3 + jnp.dot(
+                    taps[ti], wm_ref[ti * C:(ti + 1) * C],
+                    preferred_element_type=jnp.float32)
+        # apply the w-taps: dw=1 is aligned; dw=0 shifts right, dw=2 left.
+        # Edge columns receive nothing — exactly the conv's w zero-pad.
+        y3 = acc3.reshape(R, W, 3 * C)
+        acc = y3[:, :, C:2 * C]
+        zrow = jnp.zeros((R, 1, C), jnp.float32)
+        acc = acc + jnp.concatenate([zrow, y3[:, :W - 1, :C]], axis=1)
+        acc = acc + jnp.concatenate([y3[:, 1:, 2 * C:], zrow], axis=1)
+
+        h = _elu_kernel(acc.reshape(R * W, C).astype(dtype) + cb_ref[0])
+        acc2 = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+        h2 = _elu_kernel(acc2.astype(dtype) + pb_ref[0])
+        # SE logits: bf16 value + bias, then f32 (matches the XLA path's
+        # Linear -> astype(f32) order). f32 products with f32 accumulation
+        # == the einsum's MXU bf16xbf16->f32 exactly.
+        lg32 = jnp.sum(h2.astype(jnp.float32)
+                       * k1_ref[0].astype(jnp.float32),
+                       axis=-1, keepdims=True)
+        lg = lg32.astype(dtype) + kb_ref[0]
+        logits[pl.ds(h0 * W, R * W), :] = lg.astype(jnp.float32)
+        o_ref[0, 0, pl.ds(h0, R)] = h2.reshape(R, W, C)
+
+    jax.lax.fori_loop(0, H // R, chunk, None, unroll=False)
+
+    # --- SqueezeExcite (global over the frame) -------------------------------
+    lg = logits[...]                                     # (M, 1) f32
+    m = jnp.max(lg)
+    ex = jnp.exp(lg - m)
+    attn = (ex / jnp.sum(ex)).astype(dtype)              # (M, 1)
+    y = o_ref[0, 0].reshape(M, C)
+    # context[c] = sum_m attn[m] * y[m, c] — f32 accumulation like the XLA
+    # path's _se_context einsum (bf16 products, f32 sum)
+    ctx32 = jnp.sum(y.astype(jnp.float32) * attn.astype(jnp.float32),
+                    axis=0, keepdims=True)               # (1, C)
+    context = ctx32.astype(dtype)
+    # tiny (1,C) dots: explicit f32 operands — Mosaic mis-verifies
+    # preferred_element_type upcasts on sub-tile matmuls (f32->bf16 broadcast)
+    g32 = jnp.dot(context.astype(jnp.float32), gi_ref[:].astype(jnp.float32))
+    g = _leaky_relu(g32.astype(dtype) + gib_ref[0])
+    gt32 = jnp.dot(g.astype(jnp.float32), go_ref[:].astype(jnp.float32))
+    # manual sigmoid: Mosaic's logistic lowering emits a mistyped f32->bf16
+    # broadcast on sub-tile vectors
+    z = gt32.astype(dtype) + gob_ref[0]
+    gates = 1.0 / (1.0 + jnp.exp(-z))                    # (1, C)
+    # gating + residual in one in-place pass
+    o_ref[0, 0] = o_ref[0, 0] * gates.reshape(1, 1, C) + x_ref[0, 0]
+
+
+# -- XLA twin (VJP recompute target + oracle) ---------------------------------
+
+
+def _residual_unit_xla_plain(x, conv_k, conv_b, pw_k, pw_b,
+                             tok_k, tok_b, gi_k, gi_b, go_k, go_b):
+    """Identical math to the kernel, expressed in XLA on the same unpacked
+    layout. Mirrors the module path (_ResidualUnitInner unfused: CausalConv3d
+    -> elu -> Conv3d1x1 -> elu -> SqueezeExcite -> +x) — tests assert both
+    equivalences."""
+    from magvit2_pytorch_tpu.ops.basic import _se_context
+    from magvit2_pytorch_tpu.ops.conv import DN_3D
+
+    dtype = x.dtype
+    y = jax.lax.conv_general_dilated(
+        x, conv_k.astype(dtype), window_strides=(1, 1, 1),
+        padding=[(2, 0), (1, 1), (1, 1)], dimension_numbers=DN_3D)
+    y = _elu(y + conv_b.astype(dtype))
+    y = jnp.einsum('...i,io->...o', y, pw_k.astype(dtype))
+    y = _elu(y + pw_b.astype(dtype))
+
+    # SqueezeExcite (see ops/basic.SqueezeExcite unblocked branch)
+    k = (jnp.einsum('...i,io->...o', y, tok_k.astype(dtype))
+         + tok_b.astype(dtype)).astype(jnp.float32)[..., 0]
+    sp = (-2, -1)
+    k = k - jnp.max(k, axis=sp, keepdims=True)
+    attn = jnp.exp(k)
+    attn = attn / jnp.sum(attn, axis=sp, keepdims=True)
+    context = _se_context(y, attn.astype(dtype), 2)
+    context = context[..., None, None, :].astype(dtype)
+    g = jnp.einsum('...i,io->...o', context, gi_k.astype(dtype))
+    g = _leaky_relu(g + gi_b.astype(dtype))
+    gates = jax.nn.sigmoid(
+        jnp.einsum('...i,io->...o', g, go_k.astype(dtype))
+        + go_b.astype(dtype))
+    return gates * y + x
+
+
+# -- public entry -------------------------------------------------------------
+
+
+def wide_eligible(x, dim: int, kernel_size, streaming: bool) -> bool:
+    """Static gate for the wide fused kernel on the product path: unpacked
+    (B, T, H, W, C) layout, C == dim, C a multiple of 128 (full MXU lanes
+    natively) OR exactly 64 (tap-paired contraction) — either way no packing,
+    hence no layout boundary."""
+    from magvit2_pytorch_tpu.utils.helpers import cast_tuple
+    if os.environ.get('MAGVIT2_TPU_NO_FUSED_RU', '') == '1':
+        return False    # bench/debug kill switch (shared with the packed RU)
+    if os.environ.get('MAGVIT2_TPU_NO_FUSED_RU_WIDE', '') == '1':
+        return False
+    if streaming:
+        return False
+    if cast_tuple(kernel_size, 3) != (3, 3, 3):
+        return False
+    if x.ndim != 5:
+        return False
+    B, T, H, W, C = x.shape
+    if C != dim or (C % 128 and C != 64) or C > 1024:
+        return False
+    # Measured on v5e (tools/wide_ru_bench.py, b8, flagship stage shapes,
+    # results/wide_ru_b8.log): the kernel WINS at C=64 (1.10x, pair-tap)
+    # and C=256 (1.11x) but LOSES at C=128 (0.92x) and C=512 (0.87x) —
+    # XLA's conv already runs those at 73-99% of peak and the kernel's
+    # sequential (B,T) grid can't beat it. Engage only where measured ahead.
+    wide_dims = frozenset(
+        int(d) for d in os.environ.get(
+            'MAGVIT2_TPU_FUSED_RU_WIDE_DIMS', '64,256').split(',') if d)
+    if C not in wide_dims:
+        return False
+    if C == 64 and os.environ.get('MAGVIT2_TPU_NO_FUSED_RU_W64', '') == '1':
+        return False    # pair-tap path killable on its own (Mosaic probe)
+    if H % 8 or W % 8 or H < 8 or W < 8:
+        return False
+    R = 16 if H % 16 == 0 else 8
+    # VMEM budget: ring + weights + double-buffered io blocks + f32 temps
+    # (C=64 arrays lane-pad minor dim 64 -> 128 in VMEM: count Cp not C)
+    it = jnp.dtype(x.dtype).itemsize
+    Cp = max(C, 128)
+    ring = 3 * (H + 2) * W * Cp * it
+    wm = 9 * C * 3 * C * it + C * Cp * it
+    io = 4 * H * W * Cp * it
+    f32 = (R * W * 3 * Cp + H * W * 128) * 4
+    if ring + wm + io + f32 > 64 * 1024 * 1024:
+        return False
+    return jax.default_backend() == 'tpu'
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def fused_residual_unit_wide(x, conv_k, conv_b, pw_k, pw_b,
+                             tok_k, tok_b, gi_k, gi_b, go_k, go_b,
+                             interpret: bool = False):
+    """Fused ResidualUnit on the native layout. x: (B, T, H, W, C) with
+    C % 128 == 0 (per-tap K=C dots) or C == 64 (tap-paired K=128 dots);
+    params in the reference layout: conv_k (3,3,3,C,C), pw_k (C,C),
+    tok_k (C,1), gi_k (C,Ch), go_k (Ch,C)."""
+    B, T, H, W, C = x.shape
+    dtype = x.dtype
+    R = 16 if H % 16 == 0 else 8
+    hidden = gi_k.shape[1]
+
+    # (9C, 3C) per-(dt,dh) weight stack: rows [ti*C, (ti+1)*C) are input
+    # channels; columns [dw*C, (dw+1)*C) hold conv_k[dt, dh, dw]
+    wm = jnp.concatenate([
+        jnp.concatenate([conv_k[dt, dh, dw] for dw in range(3)], axis=1)
+        for dt in range(3) for dh in range(3)], axis=0).astype(dtype)
+    cb = conv_b.astype(dtype).reshape(1, C)
+    w1 = pw_k.astype(dtype)
+    pb = pw_b.astype(dtype).reshape(1, C)
+    k1 = tok_k.astype(dtype).reshape(1, C)     # (C,1) used as a row vector
+    kb = jnp.broadcast_to(tok_b.astype(dtype), (1,)).reshape(1, 1)
+
+    kernel = functools.partial(_kernel, H=H, W=W, C=C, R=R,
+                               pair_taps=C == 64)
+    const = lambda spec_shape: pl.BlockSpec(
+        spec_shape, lambda b, t: (0,) * len(spec_shape),
+        memory_space=pltpu.VMEM)
+    io_block = (1, 1, H, W, C)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec(io_block,
+                         lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((9 * C, 3 * C)),
+            const((1, C)),
+            const((C, C)),
+            const((1, C)),
+            const((1, C)),
+            const((1, 1)),
+            const((C, hidden)),
+            const((1, hidden)),
+            const((hidden, C)),
+            const((1, C)),
+        ],
+        out_specs=pl.BlockSpec(io_block,
+                               lambda b, t: (b, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, W, C), dtype),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((3, H + 2, W, C), dtype),           # causal frame ring
+            pltpu.VMEM((H * W, 1), jnp.float32),           # SE logits
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * H * W * C * (27 * C + C),
+            bytes_accessed=2 * B * T * H * W * C * jnp.dtype(dtype).itemsize,
+            transcendentals=2 * B * T * H * W * C,
+        ),
+        interpret=interpret,
+    )(x, wm, cb, w1, pb, k1, kb,
+      gi_k.astype(dtype), gi_b.astype(dtype).reshape(1, hidden),
+      go_k.astype(dtype), go_b.astype(dtype).reshape(1, C))
+    return y
+
+
+def _fwd(x, conv_k, conv_b, pw_k, pw_b, tok_k, tok_b, gi_k, gi_b,
+         go_k, go_b, interpret):
+    out = fused_residual_unit_wide(x, conv_k, conv_b, pw_k, pw_b,
+                                   tok_k, tok_b, gi_k, gi_b, go_k, go_b,
+                                   interpret)
+    return out, (x, conv_k, conv_b, pw_k, pw_b, tok_k, tok_b,
+                 gi_k, gi_b, go_k, go_b)
+
+
+def _bwd(interpret, residuals, g):
+    _, vjp = jax.vjp(_residual_unit_xla_plain, *residuals)
+    return vjp(g)
+
+
+fused_residual_unit_wide.defvjp(_fwd, _bwd)

@@ -266,8 +266,32 @@ class _ResidualUnitInner(nn.Module):
         return fused_eligible(x, self.dim, self.kernel_size, streaming,
                               w_blocked)
 
+    def _use_fused_wide(self, x, streaming: bool, w_blocked: bool) -> bool:
+        from magvit2_pytorch_tpu.ops.pallas.residual_unit_wide import (
+            wide_eligible)
+        if w_blocked or self.pad_mode not in ('constant', 'zeros'):
+            return False
+        return wide_eligible(x, self.dim, self.kernel_size, streaming)
+
     @nn.compact
     def __call__(self, x, streaming: bool = False, w_blocked: bool = False):
+        if self._use_fused_wide(x, streaming, w_blocked):
+            # Wide-channel fused Pallas path (residual_unit_wide.py): the
+            # C%128==0 stages on the native unpacked layout — one VMEM pass,
+            # +x included, no layout boundary. Param tree matches unfused.
+            from magvit2_pytorch_tpu.ops.pallas.residual_unit_wide import (
+                fused_residual_unit_wide)
+            conv_k, conv_b, _ = CausalConv3d(
+                self.dim, self.kernel_size, pad_mode=self.pad_mode,
+                name='conv')._params(self.dim)
+            pw_k, pw_b = Conv3d1x1(
+                self.dim, name='conv_pointwise')._params(self.dim)
+            (tok_k, tok_b), (gi_k, gi_b), (go_k, go_b) = SqueezeExcite(
+                self.dim, name='se')._params(self.dim)
+            return fused_residual_unit_wide(
+                x, conv_k, conv_b, pw_k, pw_b, tok_k, tok_b,
+                gi_k, gi_b, go_k, go_b,
+                jax.default_backend() != 'tpu')   # interpret off-TPU (tests)
         if self._use_fused(x, streaming, w_blocked):
             # Fused Pallas path (ops/pallas/residual_unit.py): whole unit —
             # INCLUDING the +x residual — in one VMEM pass. Child modules
@@ -311,7 +335,8 @@ class _ResidualUnitOuter(nn.Module):
     @nn.compact
     def __call__(self, x, streaming: bool = False, w_blocked: bool = False):
         out = self.fn(x, streaming=streaming, w_blocked=w_blocked)
-        if self.fn._use_fused(x, streaming, w_blocked):
+        if (self.fn._use_fused_wide(x, streaming, w_blocked)
+                or self.fn._use_fused(x, streaming, w_blocked)):
             return out
         return out + x
 

@@ -24,17 +24,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope(fn, x0, n_s=2, n_l=10):
-    """Chained slope timing; fn must map its first arg to a same-shaped out."""
+def slope(fn, x0, params, n_s=2, n_l=10):
+    """Chained slope timing; fn must map (x, params) to a same-shaped out.
+    params MUST be an explicit argument — a closure would embed ~600 MB of
+    device arrays as MLIR constants, and fetching them through the remote
+    tunnel during lowering dies with RESOURCE_EXHAUSTED."""
     @jax.jit
-    def chained(n, x):
+    def chained(n, x, p):
         def body(i, v):
-            return fn(v).reshape(v.shape).astype(v.dtype) * (1.0 + 1e-7 * i)
+            return fn(v, p).reshape(v.shape).astype(v.dtype) * (1.0 + 1e-7 * i)
         return jax.lax.fori_loop(0, n, body, x)
 
     def run(n):
         t0 = time.perf_counter()
-        out = chained(n, x0)
+        out = chained(n, x0, params)
         float(np.asarray(out.reshape(-1)[:1]).astype(np.float32).sum())
         return time.perf_counter() - t0
 
@@ -51,6 +54,11 @@ def main():
     ap.add_argument('--image-size', type=int, default=128)
     ap.add_argument('--lane-pack', default='false',
                     choices=['false', 'encoder', 'true'])
+    ap.add_argument('--phase', default='all',
+                    choices=['all', 'encode', 'quantize', 'decode',
+                             'roundtrip'],
+                    help='time one phase only (own process: at batch 128 '
+                         'holding all four jitted programs OOMs the chip)')
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
@@ -72,43 +80,46 @@ def main():
 
     # encode: video -> latents (pad video back out of the latents for the
     # chained same-shape contract via a cheap broadcast hack)
-    def enc(v):
-        lat = module.apply({'params': params}, v,
+    def enc(v, p):
+        lat = module.apply({'params': p}, v,
                            method=TokenizerModule.encode)
         return jnp.broadcast_to(
             lat.astype(jnp.float32).mean() * 1e-6, v.shape).astype(v.dtype) + v
 
-    lat = module.apply({'params': params}, video,
-                       method=TokenizerModule.encode)
+    lat = jax.jit(lambda v, p: module.apply(
+        {'params': p}, v, method=TokenizerModule.encode))(video, params)
     print(f'# latents {lat.shape}', flush=True)
 
-    def quant(l):
-        q = module.apply({'params': params}, l,
+    def quant(l, p):
+        q = module.apply({'params': p}, l,
                          method=TokenizerModule.quantize)
         return q.quantized
 
-    def dec(l):
-        recon = module.apply({'params': params}, l,
+    def dec(l, p):
+        recon = module.apply({'params': p}, l,
                              method=TokenizerModule.decode)
         return jnp.broadcast_to(
             recon.astype(jnp.float32).mean() * 1e-6, l.shape).astype(
                 l.dtype) + l
 
-    def roundtrip(v):
-        recon, _ = module.apply({'params': params}, v)
+    def roundtrip(v, p):
+        recon, _ = module.apply({'params': p}, v)
         return recon
 
-    t_enc = slope(enc, video)
-    t_q = slope(quant, lat)
-    t_dec = slope(dec, lat)
-    t_rt = slope(roundtrip, video)
-    fps = B * T / t_rt
-    print(f'encode   : {t_enc*1e3:8.1f} ms')
-    print(f'quantize : {t_q*1e3:8.1f} ms')
-    print(f'decode   : {t_dec*1e3:8.1f} ms')
-    print(f'roundtrip: {t_rt*1e3:8.1f} ms  ({fps:.1f} frames/sec; '
-          f'sum of phases {1e3*(t_enc+t_q+t_dec):.1f} ms '
-          f'+ chained-overhead deltas)')
+    want = args.phase
+    if want in ('all', 'encode'):
+        print(f'encode   : {slope(enc, video, params)*1e3:8.1f} ms',
+              flush=True)
+    if want in ('all', 'quantize'):
+        print(f'quantize : {slope(quant, lat, params)*1e3:8.1f} ms',
+              flush=True)
+    if want in ('all', 'decode'):
+        print(f'decode   : {slope(dec, lat, params)*1e3:8.1f} ms',
+              flush=True)
+    if want in ('all', 'roundtrip'):
+        t_rt = slope(roundtrip, video, params)
+        print(f'roundtrip: {t_rt*1e3:8.1f} ms  ({B * T / t_rt:.1f} '
+              f'frames/sec)', flush=True)
 
 
 if __name__ == '__main__':
