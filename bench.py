@@ -151,6 +151,34 @@ def main():
                       and ('RESOURCE_EXHAUSTED' in msg
                            or 'Ran out of memory' in msg
                            or 'Exceeded hbm capacity' in msg))
+            if is_oom and not os.environ.get('MAGVIT2_TPU_BENCH_OOM_RETRY'):
+                # FIRST HBM OOM: before conceding batch size, retry once at
+                # the SAME batch with every fused-kernel kill switch set — a
+                # kernel whose custom-call boundary forces layout copies can
+                # OOM a batch the plain XLA path fits (exactly the r4
+                # failure: wide fused-RU default OOM'd batch 128 while the
+                # kill-switch path ran it at 1532 fps). Fresh process because
+                # a real HBM OOM poisons the tunnel runtime.
+                print('# HBM OOM: retrying same batch with fused Pallas '
+                      'kernels disabled before stepping batch down',
+                      file=sys.stderr)
+                sys.stderr.flush()
+                os.environ['MAGVIT2_TPU_BENCH_OOM_RETRY'] = '1'
+                for kill in ('MAGVIT2_TPU_NO_FUSED_ATTN',
+                             'MAGVIT2_TPU_NO_FUSED_RU',
+                             'MAGVIT2_TPU_NO_FUSED_RU_WIDE',
+                             'MAGVIT2_TPU_NO_FUSED_RU_W64'):
+                    os.environ[kill] = '1'
+                os.execv(sys.executable, [
+                    sys.executable, os.path.abspath(__file__),
+                    '--batch', str(args.batch),
+                    '--frames', str(args.frames),
+                    '--image-size', str(args.image_size),
+                    '--n-short', str(args.n_short),
+                    '--n-long', str(args.n_long),
+                    '--dtype', args.dtype,
+                    '--lane-pack', args.lane_pack,
+                ])
             if is_oom and args.batch > 8:
                 # after a real HBM OOM the tunnel runtime can stay poisoned
                 # (every later allocation fails too, observed 2026-08-19:

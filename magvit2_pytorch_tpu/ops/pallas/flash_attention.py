@@ -475,7 +475,12 @@ def flash_attention(q, k, v, causal: bool = False,
     (b, h, n, m) (reference attend.py:149-167 folds the same bias into
     SDPA's mask). Differentiable; broadcast shapes stay unmaterialized via
     the kernel's index map (a (h, n, m) bias is read per-head, not tiled
-    batch-times in HBM)."""
+    batch-times in HBM) — on the FORWARD pass. The BACKWARD pass for a
+    biased call materializes d_bias as a full (b*h, n, m) f32 array in HBM
+    before reducing broadcast groups on the host side: at flash-engaged
+    sizes (n, m >= 1024) that is the whole quadratic score matrix — budget
+    b*h*n*m*4 bytes of HBM for training with a bias, or keep biased
+    attention at sizes where the XLA path dispatches instead."""
     scale = default(scale, q.shape[-1] ** -0.5)
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'

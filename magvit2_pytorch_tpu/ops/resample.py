@@ -27,10 +27,7 @@ from magvit2_pytorch_tpu.ops.conv import (
     CausalConv3d,
     Conv3DMod,
     Conv3d1x1,
-    _conv_tricks_enabled,
     _w_block_kernel_in_down2,
-    _w_pair,
-    _wpair_kernel,
     blur,
 )
 from magvit2_pytorch_tpu.utils.helpers import cast_tuple, default

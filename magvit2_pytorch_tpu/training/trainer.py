@@ -24,6 +24,7 @@ twice — there is no second step).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from contextlib import contextmanager
 from functools import partial
@@ -141,6 +142,15 @@ class VideoTokenizerTrainer:
         profile_dir: Optional[str] = None,
         log_every: int = 1,
     ):
+        # the int8 conv path is inference-only: jnp.round has zero gradient,
+        # so training with it engaged would silently produce (near-)zero conv
+        # gradients (ADVICE r4). Refuse loudly at construction.
+        if os.environ.get('MAGVIT2_TPU_INT8_CONV', '') == '1':
+            raise RuntimeError(
+                'MAGVIT2_TPU_INT8_CONV=1 is an inference-only path (round() '
+                'kills conv gradients); unset it before constructing '
+                'VideoTokenizerTrainer')
+
         self.model = model
         self.batch_size = batch_size
         self.num_train_steps = num_train_steps
@@ -833,8 +843,6 @@ class VideoTokenizerTrainer:
 
         import torch
 
-        import chex
-
         from magvit2_pytorch_tpu.models.torch_import import (
             discr_adam_moments,
             generator_adam_moments,
@@ -884,14 +892,31 @@ class VideoTokenizerTrainer:
                     f'checkpoint has {len(torch_scales)} multiscale '
                     f'discriminators but the trainer only has '
                     f'{len(ms_params)}; extra scales are ignored')
+            def _assert_same_treedef_and_shapes(a, b):
+                # chex-free structure + shape check (chex is only a
+                # transitive dep of optax/flax, not declared — ADVICE r4)
+                ta, tb = jax.tree.structure(a), jax.tree.structure(b)
+                if ta != tb:
+                    raise ValueError(f'tree structures differ: {ta} vs {tb}')
+                for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                    if jnp.shape(la) != jnp.shape(lb):
+                        raise ValueError(
+                            f'leaf shapes differ: {jnp.shape(la)} vs '
+                            f'{jnp.shape(lb)}')
+
             for i, cur in enumerate(ms_params):
                 if i not in torch_scales:
+                    # a configured scale absent from the checkpoint keeps
+                    # its initialized params — say so (ADVICE r4)
+                    warnings.warn(
+                        f'multiscale discriminator {i} is not present in the '
+                        f'checkpoint; keeping initialized params')
                     continue
                 try:
                     cand = jax.tree.map(
                         jnp.asarray,
                         load_torch_multiscale_discr_state_dict(model_sd, i))
-                    chex.assert_trees_all_equal_shapes(cand, cur)
+                    _assert_same_treedef_and_shapes(cand, cur)
                 except Exception as e:  # noqa: BLE001 — any shape/key mismatch
                     warnings.warn(
                         f'multiscale discriminator {i} is not reference-'
