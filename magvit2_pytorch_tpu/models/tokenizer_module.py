@@ -171,6 +171,26 @@ class TokenizerConfig:
             assert exists(self.codebook_size) and not exists(self.fsq_levels), (
                 'if use_fsq=False, `codebook_size` must be set (and not '
                 '`fsq_levels`)')
+            if (self.codebook_size >= 2 ** 14
+                    and self.lfq_entropy_inv_temperature > 4):
+                # measured on TPU (results/codebook_2e18_t2.log +
+                # results/convergence_config1*.json): at the reference-parity
+                # inv_temperature=100 every tested config's codebook collapses
+                # permanently within ~25 steps (2-8 live codes); ~2 keeps the
+                # diversity gradient alive at 2^18 AND improves recon. Kept
+                # as a warning (not a re-default) for reference parity.
+                import warnings
+                warnings.warn(
+                    f'codebook_size={self.codebook_size} (>= 2^14) with '
+                    f'lfq_entropy_inv_temperature='
+                    f'{self.lfq_entropy_inv_temperature} (> 4): at this scale '
+                    'the entropy diversity gradient saturates within ~25 '
+                    'steps and codebook utilization collapses permanently '
+                    '(measured: results/codebook_2e18_t2.log). Set '
+                    'lfq_entropy_inv_temperature~=2 for real runs, and watch '
+                    "the trainer's mean_bit_entropy metric in the first 50 "
+                    'steps — below ~0.1 means the collapse already happened.',
+                    stacklevel=3)
         else:
             assert not exists(self.codebook_size) and exists(self.fsq_levels), (
                 'if use_fsq=True, `fsq_levels` must be set (and not '

@@ -286,11 +286,13 @@ class CausalConv3d(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def _params(self, c_in: int, cache_init=None):
+    def _params(self, c_in: int, cache_init=None, int8_calib: bool = False):
         """Params (and, when ``cache_init`` is given, the streaming cache
         variable) without compute — single compact method; ``__call__`` is
         plain. Lets the fused residual-unit kernel pull this conv's params
-        directly (ops/pallas/residual_unit.py)."""
+        directly (ops/pallas/residual_unit.py). ``int8_calib`` additionally
+        creates the int8-calibration absmax recorder (see
+        VideoTokenizer.calibrate_int8)."""
         kt, kh, kw = cast_tuple(self.kernel_size, 3)
         kernel = self.param(
             'kernel', torch_kernel_init, (kt, kh, kw, c_in, self.features))
@@ -299,7 +301,10 @@ class CausalConv3d(nn.Module):
         ) if self.use_bias else None
         cache = (self.variable('cache', 'time_state', cache_init)
                  if cache_init is not None else None)
-        return kernel, bias, cache
+        calib = (self.variable('int8_calib', 'absmax',
+                               lambda: jnp.zeros((), jnp.float32))
+                 if int8_calib else None)
+        return kernel, bias, cache, calib
 
     def _mxu_lowering(self, x, kernel, bias, time_pad, hp):
         """MXU-occupancy lowerings (module comment above _conv_tricks_enabled):
@@ -382,9 +387,20 @@ class CausalConv3d(nn.Module):
             b, _, h, w, c_last = x.shape
             cache_init = (lambda: jnp.zeros(
                 (b, time_pad, h, w, c_last), dtype))
-        kernel, bias, cache = self._params(c_in, cache_init=cache_init)
+        int8_ok = (int8_conv_enabled(c_in, self.features) and not streaming
+                   and self.pad_mode in ('constant', 'zeros'))
+        calibrating = (int8_ok and not self.is_initializing()
+                       and self.is_mutable_collection('int8_calib'))
+        kernel, bias, cache, calib = self._params(
+            c_in, cache_init=cache_init, int8_calib=calibrating)
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
+        if calib is not None:
+            # calibration pass (VideoTokenizer.calibrate_int8): record the
+            # running absmax of this conv's input; padding only adds zeros,
+            # so the pre-pad absmax is the post-pad absmax
+            calib.value = jnp.maximum(
+                calib.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
 
         if (not streaming and not w_blocked_in and not w_blocked_out
                 and self.pad_mode in ('constant', 'zeros') and kw == 3
@@ -483,8 +499,7 @@ class CausalConv3d(nn.Module):
             kernel = jnp.pad(
                 kernel, [(0, 0)] * (kernel.ndim - 1) + [(0, out_pad)])
 
-        use_int8 = (int8_conv_enabled(c_in, self.features) and not streaming
-                    and self.pad_mode in ('constant', 'zeros'))
+        use_int8 = int8_ok
 
         def do_conv(xi):
             if unfold_taps > 1:
@@ -492,8 +507,26 @@ class CausalConv3d(nn.Module):
                 xi = jnp.concatenate(
                     [xi[:, i:i + t_out] for i in range(unfold_taps)], axis=-1)
             if use_int8:
-                xq, xs = _quantize_per_tensor(xi)
-                kq, ks = _quantize_per_channel_out(kernel)
+                # static calibrated path (VideoTokenizer.calibrate_int8):
+                # the per-call absmax reduce pass disappears and quantize is
+                # a pure elementwise op XLA fuses into the producer chain;
+                # pre-quantized weights ride along in the same collection
+                xq = xs = None
+                if self.has_variable('int8', 'act_scale'):
+                    xs = self.get_variable('int8', 'act_scale')
+                    xq = jnp.clip(
+                        jnp.round(xi.astype(jnp.float32) / xs),
+                        -127, 127).astype(jnp.int8)
+                if xq is None:
+                    xq, xs = _quantize_per_tensor(xi)
+                kq = ks = None
+                if self.has_variable('int8', 'kernel_q'):
+                    kq_s = self.get_variable('int8', 'kernel_q')
+                    if kq_s.shape == kernel.shape:   # raw-layout kernels only
+                        kq = kq_s
+                        ks = self.get_variable('int8', 'kernel_scale')
+                if kq is None:
+                    kq, ks = _quantize_per_channel_out(kernel)
                 acc = jax.lax.conv_general_dilated(
                     xq, kq,
                     window_strides=(self.stride, 1, w_strides[1]),
@@ -533,20 +566,29 @@ class Conv3d1x1(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def _params(self, c_in: int):
+    def _params(self, c_in: int, int8_calib: bool = False):
         """Params without compute (see CausalConv3d._params)."""
         kernel = self.param('kernel', torch_kernel_init, (c_in, self.features))
         bias = self.param(
             'bias', torch_bias_init(c_in), (self.features,)
         ) if self.use_bias else None
-        return kernel, bias
+        calib = (self.variable('int8_calib', 'absmax',
+                               lambda: jnp.zeros((), jnp.float32))
+                 if int8_calib else None)
+        return kernel, bias, calib
 
     def __call__(self, x, w_blocked: bool = False):
         c_in = x.shape[-1] // 2 if w_blocked else x.shape[-1]
-        kernel, bias = self._params(c_in)
+        use_int8 = int8_conv_enabled(c_in, self.features)
+        calibrating = (use_int8 and not self.is_initializing()
+                       and self.is_mutable_collection('int8_calib'))
+        kernel, bias, calib = self._params(c_in, int8_calib=calibrating)
         dtype = default(self.dtype, x.dtype)
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
+        if calib is not None:
+            calib.value = jnp.maximum(
+                calib.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
         f = self.features
         if w_blocked:
             # lane packing (see module note): per-phase application == one
@@ -556,9 +598,22 @@ class Conv3d1x1(nn.Module):
             kb = jnp.zeros((2 * c_in, 2 * f), dtype)
             kb = kb.at[:c_in, :f].set(kernel).at[c_in:, f:].set(kernel)
             kernel, f = kb, 2 * f
-        if int8_conv_enabled(c_in, self.features):
-            xq, xs = _quantize_per_tensor(x)
-            kq, ks = _quantize_per_channel_out(kernel)
+        if use_int8:
+            xq = xs = None
+            if self.has_variable('int8', 'act_scale'):
+                xs = self.get_variable('int8', 'act_scale')
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                              -127, 127).astype(jnp.int8)
+            if xq is None:
+                xq, xs = _quantize_per_tensor(x)
+            kq = ks = None
+            if self.has_variable('int8', 'kernel_q'):
+                kq_s = self.get_variable('int8', 'kernel_q')
+                if kq_s.shape == kernel.shape:   # raw-layout kernels only
+                    kq = kq_s
+                    ks = self.get_variable('int8', 'kernel_scale')
+            if kq is None:
+                kq, ks = _quantize_per_channel_out(kernel)
             acc = jax.lax.conv_general_dilated(
                 xq, kq.reshape(1, 1, 1, kernel.shape[0], f),
                 window_strides=(1, 1, 1),

@@ -74,8 +74,24 @@ class SpatialDownsample2x(nn.Module):
             _quantize_per_channel_out, _quantize_per_tensor,
             int8_conv_enabled)
         if int8_conv_enabled(c_in, dim_out):
-            xq, xs = _quantize_per_tensor(x)
-            kq, ks = _quantize_per_channel_out(kernel)
+            if (not self.is_initializing()
+                    and self.is_mutable_collection('int8_calib')):
+                calib = self.variable('int8_calib', 'absmax',
+                                      lambda: jnp.zeros((), jnp.float32))
+                calib.value = jnp.maximum(
+                    calib.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            if self.has_variable('int8', 'act_scale'):
+                xs = self.get_variable('int8', 'act_scale')
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                              -127, 127).astype(jnp.int8)
+            else:
+                xq, xs = _quantize_per_tensor(x)
+            if (self.has_variable('int8', 'kernel_q') and
+                    self.get_variable('int8', 'kernel_q').shape == kernel.shape):
+                kq = self.get_variable('int8', 'kernel_q')
+                ks = self.get_variable('int8', 'kernel_scale')
+            else:
+                kq, ks = _quantize_per_channel_out(kernel)
             acc = jax.lax.conv_general_dilated(
                 xq, kq,
                 window_strides=strides,
@@ -278,10 +294,10 @@ class _ResidualUnitInner(nn.Module):
             # +x included, no layout boundary. Param tree matches unfused.
             from magvit2_pytorch_tpu.ops.pallas.residual_unit_wide import (
                 fused_residual_unit_wide)
-            conv_k, conv_b, _ = CausalConv3d(
+            conv_k, conv_b, _, _ = CausalConv3d(
                 self.dim, self.kernel_size, pad_mode=self.pad_mode,
                 name='conv')._params(self.dim)
-            pw_k, pw_b = Conv3d1x1(
+            pw_k, pw_b, _ = Conv3d1x1(
                 self.dim, name='conv_pointwise')._params(self.dim)
             (tok_k, tok_b), (gi_k, gi_b), (go_k, go_b) = SqueezeExcite(
                 self.dim, name='se')._params(self.dim)
@@ -297,10 +313,10 @@ class _ResidualUnitInner(nn.Module):
             # default unpacked layout the packed view is a cheap reshape.
             from magvit2_pytorch_tpu.ops.pallas.residual_unit import (
                 fused_residual_unit)
-            conv_k, conv_b, _ = CausalConv3d(
+            conv_k, conv_b, _, _ = CausalConv3d(
                 self.dim, self.kernel_size, pad_mode=self.pad_mode,
                 name='conv')._params(self.dim)
-            pw_k, pw_b = Conv3d1x1(
+            pw_k, pw_b, _ = Conv3d1x1(
                 self.dim, name='conv_pointwise')._params(self.dim)
             (tok_k, tok_b), (gi_k, gi_b), (go_k, go_b) = SqueezeExcite(
                 self.dim, name='se')._params(self.dim)

@@ -24,6 +24,7 @@ its own frames; SURVEY.md §7 hard-parts).
 
 from __future__ import annotations
 
+import math
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -34,7 +35,11 @@ from magvit2_pytorch_tpu.utils.helpers import exists
 
 
 class LossBreakdown(NamedTuple):
-    """Mirrors reference LossBreakdown (magvit2_pytorch.py:1028-1037)."""
+    """Mirrors reference LossBreakdown (magvit2_pytorch.py:1028-1037), plus
+    codebook-health stats (mean bit entropy / batch seen-mask) — the r4
+    collapse study showed LFQ at the parity default inv_temperature=100
+    freezes utilization permanently within ~25 steps, invisibly unless these
+    are surfaced (results/codebook_2e18_t2.log)."""
     recon_loss: jnp.ndarray
     lfq_aux_loss: jnp.ndarray
     quantizer_loss_breakdown: Any
@@ -43,6 +48,32 @@ class LossBreakdown(NamedTuple):
     adaptive_adversarial_weight: jnp.ndarray
     multiscale_gen_losses: Tuple
     multiscale_gen_adaptive_weights: Tuple
+    mean_bit_entropy: jnp.ndarray = None     # LFQ only; None for FSQ
+    codes_seen: jnp.ndarray = None           # (codebook_size,) bool, batch
+
+
+def codebook_stats(indices, codebook_size: int, is_lfq: bool):
+    """(mean_bit_entropy, seen_mask) from quantizer code indices.
+
+    mean bit entropy: mean over the log2(codebook_size) bit positions of the
+    binary entropy of that bit's empirical rate — the early-collapse canary
+    (below ~0.1 in the first 50 steps means the LFQ diversity gradient is
+    dead and utilization is frozen; see results/codebook_2e18_t2.log).
+    seen_mask: which codes appear in this batch (for cumulative-unique
+    tracking across steps)."""
+    flat = indices.reshape(-1)
+    seen = jnp.zeros((codebook_size,), jnp.bool_).at[flat].set(True)
+    if not is_lfq:
+        return None, seen
+    num_bits = int(round(math.log2(codebook_size)))
+    bits = ((flat[:, None] >> jnp.arange(num_bits)) & 1).astype(jnp.float32)
+    p = bits.mean(axis=0)
+    # xlogy, not p*log(p+eps): at the degenerate p in {0,1} (exactly the
+    # collapse this metric exists to expose) the eps-form compiles to NaN
+    # under XLA fusion; xlogy(0, 0) == 0 by definition
+    from jax.scipy.special import xlogy
+    h = -(xlogy(p, p) + xlogy(1 - p, 1 - p))
+    return h.mean(), seen
 
 
 class DiscrLossBreakdown(NamedTuple):
@@ -271,6 +302,18 @@ def tokenizer_loss(
             multiscale_gen_losses, multiscale_gen_adaptive_weights))
         total = total + weighted * multiscale_adversarial_loss_weight
 
+    # codebook-health canaries (see codebook_stats): computed from indices
+    # with stop_gradient semantics (indices are already non-differentiable)
+    cfg = module.config
+    cb_size = 1
+    if cfg.use_fsq:
+        for lv in cfg.fsq_levels:
+            cb_size *= lv
+    else:
+        cb_size = cfg.codebook_size
+    mean_bit_h, codes_seen = codebook_stats(
+        qout.indices, cb_size, is_lfq=not cfg.use_fsq)
+
     breakdown = LossBreakdown(
         recon_loss=recon_loss,
         lfq_aux_loss=aux_losses,
@@ -280,6 +323,8 @@ def tokenizer_loss(
         adaptive_adversarial_weight=adaptive_weight,
         multiscale_gen_losses=tuple(multiscale_gen_losses),
         multiscale_gen_adaptive_weights=tuple(multiscale_gen_adaptive_weights),
+        mean_bit_entropy=mean_bit_h,
+        codes_seen=codes_seen,
     )
     return total, breakdown, recon
 

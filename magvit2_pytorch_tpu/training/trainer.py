@@ -317,6 +317,9 @@ class VideoTokenizerTrainer:
 
         self.step = 0
         self._rng = jax.random.PRNGKey(seed)
+        # cumulative codebook seen-mask (codebook-health canary; lazily
+        # placed on the mesh at the first train step)
+        self._code_seen = None
         self._jit_cache = {}
         self._wandb_run = None
 
@@ -464,7 +467,7 @@ class VideoTokenizerTrainer:
             return total, breakdown
 
         def step_fn(params, opt_state, ema_params, discr_params, ms_params,
-                    vgg_params, batches, rng, step):
+                    vgg_params, batches, rng, step, code_seen):
             # grad accumulation: unrolled python loop (accum is small and
             # static; an XLA while-loop over the full grads pytree compiles
             # pathologically slowly on some backends)
@@ -492,8 +495,11 @@ class VideoTokenizerTrainer:
                         sum(ms) / len(ms) if len(ms) > 0
                         else jnp.zeros((), jnp.float32)),
                 }
+                if breakdown.mean_bit_entropy is not None:   # LFQ only
+                    micro['mean_bit_entropy'] = breakdown.mean_bit_entropy
                 metric_sums = micro if metric_sums is None else jax.tree.map(
                     jnp.add, metric_sums, micro)
+                code_seen = jnp.logical_or(code_seen, breakdown.codes_seen)
             grads = jax.tree.map(lambda g: g / accum, grads)
 
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
@@ -504,11 +510,15 @@ class VideoTokenizerTrainer:
             # trainer.py:365-372 accumulates loss/grad_accum_every per key)
             metrics = {k: v / accum for k, v in metric_sums.items()}
             metrics['total_loss'] = loss_sum / accum
-            return new_params, new_opt_state, new_ema, metrics
+            # codebook-health canaries (results/codebook_2e18_t2.log):
+            # cumulative unique codes compounding + mean bit entropy > ~0.1
+            # in the first 50 steps = healthy; frozen = permanent collapse
+            metrics['codebook_unique_codes'] = code_seen.sum()
+            return new_params, new_opt_state, new_ema, metrics, code_seen
 
         # donate the batch (argnum 6) too: its buffer is dead after the last
         # micro-batch read and the allocator can reuse it for gradients
-        fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 6))
+        fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 6, 9))
         self._jit_cache[key] = fn
         return fn
 
@@ -588,10 +598,15 @@ class VideoTokenizerTrainer:
         # generator
         batches = self._next_batches(dl_iter)
         gen_fn = self._gen_step_fn(train_adversarially)
-        (model.params, self.opt_state, self.ema_params, metrics) = gen_fn(
+        if self._code_seen is None:
+            self._code_seen = replicate(
+                jnp.zeros((model.codebook_size,), jnp.bool_), self.mesh)
+        (model.params, self.opt_state, self.ema_params, metrics,
+         self._code_seen) = gen_fn(
             model.params, self.opt_state, self.ema_params,
             model.discr_params, tuple(model.multiscale_params),
-            model.vgg_params, batches, rng_gen, jnp.asarray(step))
+            model.vgg_params, batches, rng_gen, jnp.asarray(step),
+            self._code_seen)
 
         if not train_adversarially:
             self.step += 1

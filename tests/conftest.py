@@ -20,8 +20,22 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
 jax.config.update('jax_enable_x64', False)
 
-# persistent compile cache — the test box has few cores, XLA compiles dominate
-_cache_dir = os.path.join(os.path.dirname(__file__), '..', '.jax_cache')
+# persistent compile cache — the test box has few cores, XLA compiles dominate.
+# Salted with the host CPU's feature set: XLA:CPU AOT artifacts baked for a
+# different microarchitecture load with a "may SIGILL" warning and can
+# mis-execute (observed 2026-08-19: a cross-machine cache entry turned a
+# bit-entropy reduction into NaN); the salt makes each machine use its own
+# cache tree instead.
+import hashlib
+
+try:
+    with open('/proc/cpuinfo') as f:
+        _flags = next((l for l in f if l.startswith('flags')), '')
+except OSError:
+    _flags = ''
+_salt = hashlib.sha256(_flags.encode()).hexdigest()[:12]
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), '..', f'.jax_cache_{_salt}')
 jax.config.update('jax_compilation_cache_dir', os.path.abspath(_cache_dir))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""GAN-phase training evidence on the flagship config (VERDICT r4 #5).
+
+Round 4 left one credibility gap vs the reference's external convergence
+evidence (Open-MAGVIT2): no multi-thousand-step TPU run on the flagship
+README config crossing ``discr_start_after_step`` — i.e. no demonstration
+that the discriminator kick-in (hinge GAN + R1 + the adaptive adversarial
+weight, reference magvit2_pytorch.py:1815-1841) is *stable* here.
+
+This trains the README 128px video tokenizer with the full GAN loop on
+procedural moving textures, crossing the discriminator start mid-run, and
+records recon/PSNR + discr loss + adaptive weight + gradient penalty +
+codebook-health canaries every ``--every`` steps. VGG perceptual is ON
+(random-init — torchvision weights are unobtainable in this image; noted in
+the output header). Passes when post-GAN training does not diverge: recon
+keeps improving or holds, the adaptive weight stays bounded, discr loss
+stays finite.
+
+Usage: python tools/gan_convergence_run.py [--steps 2000] [--discr-start 500]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _moving_textures(n, size, frames, seed=0):
+    """Oriented sinusoids + gaussian blobs drifting over time — structured,
+    temporally coherent, learnable (same family as tools/codebook_probe.py
+    but extended along t)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.linspace(-1, 1, size), np.linspace(-1, 1, size),
+                         indexing='ij')
+    out = np.empty((n, frames, size, size, 3), np.float32)
+    for i in range(n):
+        th = rng.uniform(0, np.pi)
+        fr = rng.uniform(2, 8)
+        ph_v = rng.uniform(-0.5, 0.5)
+        cx, cy = rng.uniform(-0.6, 0.6, 2)
+        vx, vy = rng.uniform(-0.05, 0.05, 2)
+        s = rng.uniform(0.15, 0.5)
+        col = rng.uniform(0.2, 1.0, 3)
+        for t in range(frames):
+            ph = ph_v * t
+            wave = 0.5 + 0.5 * np.sin(
+                fr * np.pi * (xx * np.cos(th) + yy * np.sin(th)) + ph)
+            blob = np.exp(-(((xx - cx - vx * t) ** 2
+                             + (yy - cy - vy * t) ** 2) / (2 * s * s)))
+            img = 0.6 * wave + 0.4 * blob
+            out[i, t] = img[..., None] * col[None, None]
+    return np.clip(out, 0, 1)
+
+
+class _VideoDataset:
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __len__(self):
+        return len(self.arr)
+
+    def __getitem__(self, i):
+        return self.arr[i]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=2000)
+    ap.add_argument('--discr-start', type=int, default=500)
+    ap.add_argument('--batch', type=int, default=1)
+    ap.add_argument('--every', type=int, default=50)
+    ap.add_argument('--train-items', type=int, default=96)
+    ap.add_argument('--frames', type=int, default=17)
+    ap.add_argument('--image-size', type=int, default=128)
+    ap.add_argument('--lr', type=float, default=1e-4)
+    ap.add_argument('--inv-temperature', type=float, default=10.0,
+                    help='LFQ entropy temperature (10 keeps the diversity '
+                         'gradient alive on the 1024 codebook — measured '
+                         'r4; pass 100 for strict reference parity)')
+    ap.add_argument('--out', default='results/gan_convergence_flagship.json')
+    args = ap.parse_args()
+
+    from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
+    from magvit2_pytorch_tpu.data import cycle
+    from magvit2_pytorch_tpu.models import VideoTokenizer
+    from magvit2_pytorch_tpu.training.metrics import psnr
+    from magvit2_pytorch_tpu.training.trainer import VideoTokenizerTrainer
+
+    print(f'# GAN-phase convergence — README flagship '
+          f'({args.image_size}px x {args.frames}f, LFQ-1024, use_gan=True, '
+          f'VGG random-init), {args.steps} steps, discr starts after '
+          f'{args.discr_start}, batch {args.batch}, lr {args.lr}, '
+          f'inv_temperature {args.inv_temperature}, '
+          f'backend={jax.default_backend()}', flush=True)
+
+    tok = VideoTokenizer(**readme_video_tokenizer_kwargs(
+        image_size=args.image_size,
+        use_gan=True,
+        perceptual_loss_weight=0.1,
+        lfq_entropy_inv_temperature=args.inv_temperature,
+    ), seed=0)
+
+    data = _moving_textures(args.train_items, args.image_size, args.frames,
+                            seed=1)
+    probe = jnp.asarray(data[:2])
+
+    trainer = VideoTokenizerTrainer(
+        tok, batch_size=args.batch, num_train_steps=args.steps,
+        learning_rate=args.lr, warmup_steps=50,
+        discr_start_after_step=args.discr_start,
+        apply_gradient_penalty_every=4,
+        dataset=_VideoDataset(data), valid_frac=0.0,
+        use_wandb_tracking=False, log_every=10 ** 9)
+
+    @jax.jit
+    def probe_psnr(params):
+        recon, _ = tok.module.apply({'params': params}, probe)
+        return psnr(probe, jnp.clip(recon, 0, 1))
+
+    curves = []
+    it = cycle(trainer.dataloader)
+    t_last = time.perf_counter()
+    last = {}
+    for step in range(args.steps + 1):
+        if step % args.every == 0:
+            p = float(probe_psnr(tok.params))
+            dt = (time.perf_counter() - t_last) / max(args.every, 1) * 1e3
+            row = dict(
+                step=step, valid_psnr=round(p, 3),
+                ms_per_step=round(dt, 1),
+                **{k: float(last[k]) for k in (
+                    'recon_loss', 'perceptual_loss', 'adversarial_gen_loss',
+                    'adaptive_adversarial_weight', 'mean_bit_entropy',
+                    'codebook_unique_codes', 'discr_loss',
+                    'gradient_penalty') if k in last})
+            curves.append(row)
+            print('| ' + ' | '.join(
+                f'{k}={v}' for k, v in row.items()) + ' |', flush=True)
+            t_last = time.perf_counter()
+        if step == args.steps:
+            break
+        last = trainer.train_step(it)
+
+    out = pathlib.Path(__file__).resolve().parent.parent / args.out
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(dict(
+        config='readme_flagship_gan', steps=args.steps,
+        discr_start=args.discr_start, batch=args.batch, lr=args.lr,
+        inv_temperature=args.inv_temperature,
+        vgg='random-init (no torchvision weights in image)',
+        backend=jax.default_backend(), curves=curves), indent=1))
+    print(f'# wrote {out}')
+
+    # stability contract: post-GAN rows are finite, adaptive weight bounded,
+    # recon did not blow up after the discriminator kicked in
+    pre = [r for r in curves if r['step'] <= args.discr_start]
+    post = [r for r in curves if r['step'] > args.discr_start
+            and 'discr_loss' in r]
+    assert post, 'the discriminator phase never produced metrics'
+    for r in post:
+        assert np.isfinite(r['recon_loss']) and np.isfinite(r['discr_loss'])
+        assert 0.0 <= r['adaptive_adversarial_weight'] <= 1e3
+    best_pre = min(r['recon_loss'] for r in pre if 'recon_loss' in r)
+    end_recon = np.mean([r['recon_loss'] for r in post[-3:]])
+    assert end_recon < 4 * best_pre, (
+        f'recon diverged after GAN start: {end_recon} vs pre {best_pre}')
+    print(f"# PSNR {curves[0]['valid_psnr']:.2f} -> "
+          f"{curves[-1]['valid_psnr']:.2f} dB; post-GAN recon "
+          f"{end_recon:.4f} (best pre-GAN {best_pre:.4f}); adaptive weight "
+          f"last {post[-1]['adaptive_adversarial_weight']:.3g}")
+
+
+if __name__ == '__main__':
+    main()

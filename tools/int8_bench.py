@@ -57,6 +57,9 @@ def main():
     ap.add_argument('--no-fused-ru', action='store_true',
                     help='disable the bf16 fused ResidualUnit kernel in the '
                          'int8 run so the 64-ch stage uses int8 convs too')
+    ap.add_argument('--static', action='store_true',
+                    help='also measure the statically-calibrated int8 path '
+                         '(calibrate_int8: no per-call absmax pass)')
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
@@ -78,12 +81,24 @@ def main():
                         jnp.bfloat16)
     small = video[:min(8, args.batch)]
 
-    def apply_fn(p, v):
-        return module.apply({'params': p}, v)
+    int8_vars = None
+    if args.static:
+        # calibrate once (batch 8 slice is plenty for per-tensor absmax; the
+        # full batch would just re-derive the same scales slower)
+        os.environ['MAGVIT2_TPU_INT8_CONV'] = '1'
+        n = tok.calibrate_int8(small)
+        int8_vars = tok._int8_vars
+        os.environ.pop('MAGVIT2_TPU_INT8_CONV', None)
+        print(f'# calibrated {n} conv sites', flush=True)
 
+    def apply_fn(p, v):
+        return module.apply(p, v)
+
+    modes = ('bf16', 'int8', 'int8-static') if args.static else ('bf16',
+                                                                 'int8')
     results = {}
-    for mode in ('bf16', 'int8'):
-        if mode == 'int8':
+    for mode in modes:
+        if mode.startswith('int8'):
             os.environ['MAGVIT2_TPU_INT8_CONV'] = '1'
             if args.no_fused_ru:
                 os.environ['MAGVIT2_TPU_NO_FUSED_RU'] = '1'
@@ -91,25 +106,30 @@ def main():
             os.environ.pop('MAGVIT2_TPU_INT8_CONV', None)
         jax.clear_caches()  # the int8 gate is read at trace time
 
-        per_iter = slope_bench(apply_fn, params, video)
+        pvars = {'params': params}
+        if mode == 'int8-static':
+            pvars = {'params': params, 'int8': int8_vars}
+        per_iter = slope_bench(apply_fn, pvars, video)
         fps = args.batch * args.frames / per_iter
-        recon, qout = jax.jit(apply_fn)(params, small)
+        recon, qout = jax.jit(apply_fn)(pvars, small)
         results[mode] = dict(
             fps=fps, recon=np.asarray(recon, np.float32),
             codes=np.asarray(qout.indices))
         print(f'{mode}: {fps:.1f} frames/sec/chip '
               f'({per_iter*1e3:.1f} ms/iter, batch {args.batch})', flush=True)
 
-    b, i8 = results['bf16'], results['int8']
-    agree = float((b['codes'] == i8['codes']).mean())
-    dev = np.abs(b['recon'] - i8['recon'])
-    mse = float(np.mean((np.clip(b['recon'], 0, 1)
-                         - np.clip(i8['recon'], 0, 1)) ** 2))
-    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
-    print(f'speedup: {i8["fps"] / b["fps"]:.3f}x')
-    print(f'code-index agreement int8 vs bf16: {agree * 100:.2f}%')
-    print(f'recon deviation: max {dev.max():.4f}, mean {dev.mean():.5f}, '
-          f'PSNR(bf16 recon, int8 recon) {psnr:.1f} dB')
+    b = results['bf16']
+    for mode in modes[1:]:
+        i8 = results[mode]
+        agree = float((b['codes'] == i8['codes']).mean())
+        dev = np.abs(b['recon'] - i8['recon'])
+        mse = float(np.mean((np.clip(b['recon'], 0, 1)
+                             - np.clip(i8['recon'], 0, 1)) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        print(f'[{mode}] speedup: {i8["fps"] / b["fps"]:.3f}x')
+        print(f'[{mode}] code-index agreement vs bf16: {agree * 100:.2f}%')
+        print(f'[{mode}] recon deviation: max {dev.max():.4f}, mean '
+              f'{dev.mean():.5f}, PSNR(bf16, {mode}) {psnr:.1f} dB')
 
 
 if __name__ == '__main__':

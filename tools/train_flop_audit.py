@@ -179,14 +179,17 @@ def main():
 
         dtree0 = trainer._discr_tree()
 
+        seen0 = jnp.zeros((tok.codebook_size,), jnp.bool_)
+
         def gen_one(s):
-            p, o, e, _ = gen_fn(s[0], s[1], s[2], dtree0['discr'],
-                                dtree0['multiscale'], tok.vgg_params,
-                                next_batch(), rng0, step0)
-            return (p, o, e)
+            p, o, e, _, seen = gen_fn(s[0], s[1], s[2], dtree0['discr'],
+                                      dtree0['multiscale'], tok.vgg_params,
+                                      next_batch(), rng0, step0, s[3])
+            return (p, o, e, seen)
 
         args.measured_gen_s, gen_state = slope(
-            gen_one, (tok.params, trainer.opt_state, trainer.ema_params))
+            gen_one, (tok.params, trainer.opt_state, trainer.ema_params,
+                      seen0))
         params_for_discr = gen_state[0]
 
         def discr_one(s):
@@ -202,6 +205,7 @@ def main():
         _sds(tok.params), _sds(trainer.opt_state), _sds(trainer.ema_params),
         _sds(tok.discr_params), _sds(tuple(tok.multiscale_params)),
         _sds(tok.vgg_params), batches, rng, step,
+        jax.ShapeDtypeStruct((tok.codebook_size,), jnp.bool_),
         measured_s=args.measured_gen_s)
 
     discr_fn = trainer._discr_step_fn(True)
