@@ -116,8 +116,8 @@ def main():
             mod = _build_layer(spec, config, f'lb_{side}_{spec.index}',
                                encoder=(side == 'encoder'))
             shape = (b, t, s, s, c)
-            x = jnp.zeros(shape, dtype)
             try:
+                x = jnp.zeros(shape, dtype)
                 params = mod.init(jax.random.PRNGKey(0), x)
                 params = jax.tree.map(
                     lambda a: a.astype(dtype)
@@ -136,6 +136,8 @@ def main():
                   f'{t}x{s}x{s}x{c} | {sec * 1e3:.2f} | {fl / 1e9:.1f} | '
                   f'{tflops:.1f} | {100 * tflops * 1e12 / PEAK_FLOPS:.0f} |',
                   flush=True)
+    if total_ms == 0:
+        raise SystemExit('every layer was skipped (device unavailable?)')
     fps = b * t0 / (total_ms / 1e3)
     print(f'\nlayers-only total: {total_ms:.1f} ms/batch '
           f'({total_fl / 1e9:.0f} GFLOPs, '
