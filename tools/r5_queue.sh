@@ -1,26 +1,42 @@
 #!/bin/bash
 # Round-5 TPU measurement queue — run sequentially (one process owns the
 # tunnel at a time; concurrent owners OOM each other and poison the runtime).
+# Each job is preceded by a tunnel probe: the first run of this queue hit a
+# tunnel outage and every job died at backend init (axon UNAVAILABLE), so a
+# job only launches once a fresh subprocess can claim the device.
 set -x
 cd "$(dirname "$0")/.."
 
-# 1) train-step MFU at batch-8-equivalent (VERDICT r4 #6)
-timeout 2400 python tools/train_flop_audit.py --measure --vgg --batch 1 --accum 4 \
-  > results/train_mfu_r5_b1a4.log 2>&1
-timeout 2400 python tools/train_flop_audit.py --measure --vgg --batch 2 --accum 4 --remat full \
-  > results/train_mfu_r5_b2a4_remat.log 2>&1
+probe() {
+  for i in $(seq 1 240); do
+    if timeout 240 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256)); print('TPU_OK', (x @ x).sum())" 2>/dev/null \
+        | grep -q TPU_OK; then
+      return 0
+    fi
+    sleep 60
+  done
+  echo "TUNNEL_NEVER_CAME_BACK" >&2
+  return 1
+}
 
-# 2) int8 static-vs-dynamic-vs-bf16 (VERDICT r4 #3)
-timeout 3000 python tools/int8_bench.py --batch 64 --static \
-  > results/int8_bench_r5_b64_static.log 2>&1
-timeout 3000 python tools/int8_bench.py --batch 128 --static \
+# 1) int8 static-vs-dynamic-vs-bf16 (VERDICT r4 #3) — shortest, bank first
+probe && timeout 3000 python tools/int8_bench.py --batch 128 --static \
   > results/int8_bench_r5_b128_static.log 2>&1
 
-# 3) GAN-phase flagship stability run (VERDICT r4 #5)
-timeout 5400 python tools/gan_convergence_run.py --steps 2000 --discr-start 500 \
+# 2) train-step MFU at batch-8-equivalent (VERDICT r4 #6)
+probe && timeout 2400 python tools/train_flop_audit.py --measure --vgg --batch 1 --accum 4 \
+  > results/train_mfu_r5_b1a4.log 2>&1
+probe && timeout 2400 python tools/train_flop_audit.py --measure --vgg --batch 2 --accum 4 --remat full \
+  > results/train_mfu_r5_b2a4_remat.log 2>&1
+
+# 3) GAN-phase flagship stability run (VERDICT r4 #5) — longest
+probe && timeout 7200 python tools/gan_convergence_run.py --steps 2000 --discr-start 500 \
+  --out results/gan_convergence_flagship.json \
   > results/gan_convergence_r5.log 2>&1
 
 # 4) final headline for the record
-timeout 1800 python bench.py > results/bench_r5_final.log 2>&1
+probe && timeout 1800 python bench.py > results/bench_r5_final.log 2>&1
 
 echo QUEUE_DONE
