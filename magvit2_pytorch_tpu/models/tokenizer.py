@@ -38,7 +38,8 @@ from magvit2_pytorch_tpu.models.tokenizer_module import (
     TokenizerConfig,
     TokenizerModule,
 )
-from magvit2_pytorch_tpu.models.vgg import VGG16Features, load_torch_vgg16_state_dict
+from magvit2_pytorch_tpu.models.vgg import (
+    VGG16Features, load_torch_vgg16_state_dict, orthogonalize_vgg_params)
 from magvit2_pytorch_tpu.utils.helpers import default, divisible_by, exists
 from magvit2_pytorch_tpu.version import __version__
 
@@ -131,14 +132,23 @@ class VideoTokenizer:
             else:
                 # the reference ALWAYS uses torchvision-pretrained VGG16
                 # (magvit2_pytorch.py:1399-1403); random features change the
-                # training dynamics materially — refuse to be silent about it
+                # training dynamics materially — refuse to be silent about it.
+                # Orthogonal re-init keeps the random tower NON-degenerate:
+                # the flax default decays feature variance to O(1e-11) over
+                # 15 ReLU layers, which zeroes the adaptive adversarial
+                # weight and silently disables the GAN (measured:
+                # results/gan_convergence_flagship.json, adaptive weight
+                # ~1e-12 all run).
+                self.vgg_params = orthogonalize_vgg_params(self.vgg_params)
                 import warnings
                 warnings.warn(
                     'perceptual loss is enabled but no pretrained VGG16 '
-                    'weights were given — the perceptual net is RANDOMLY '
-                    'initialized (unlike the reference, which always uses '
-                    'torchvision-pretrained VGG16). Convert weights once '
-                    'with tools/fetch_vgg16_weights.py and pass '
+                    'weights were given — the perceptual net is randomly '
+                    'initialized (orthogonal kernels: non-degenerate '
+                    'activations, but NO perceptual prior — unlike the '
+                    'reference, which always uses torchvision-pretrained '
+                    'VGG16). Convert weights once with '
+                    'tools/fetch_vgg16_weights.py and pass '
                     "vgg_weights='vgg16.npz' (or set "
                     'perceptual_loss_weight=0 to silence this).',
                     stacklevel=2)

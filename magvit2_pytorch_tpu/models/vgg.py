@@ -109,3 +109,31 @@ def load_torch_vgg16_state_dict(state_dict) -> dict:
         params[our] = {'kernel': jnp.asarray(w.T), 'bias': jnp.asarray(b)}
 
     return {'params': params}
+
+
+def orthogonalize_vgg_params(vgg_params, seed: int = 7):
+    """Re-init every VGG kernel orthogonally at ReLU gain sqrt(2).
+
+    The flax default (lecun_normal) decays activation variance through the
+    15-layer ReLU tower, so a random-init VGG measures perceptual losses of
+    O(1e-11)-O(1e-14) — which in turn drives the adaptive adversarial weight
+    (reference magvit2_pytorch.py:1815-1829, its numerator is the perceptual
+    gradient norm) to ~0 and silently disables the GAN signal. Orthogonal
+    kernels at gain sqrt(2) keep ReLU feature variance O(1) per layer, so a
+    weights-less setup still exercises the perceptual + adaptive paths with
+    meaningful magnitudes. NOT a substitute for pretrained weights — random
+    orthogonal features carry no perceptual prior — just non-degenerate.
+    """
+
+    def _orth(path, leaf):
+        name = path[-1].key if hasattr(path[-1], 'key') else str(path[-1])
+        if name != 'kernel':
+            return leaf
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), abs(hash(
+            tuple(str(p) for p in path))) % (2 ** 31))
+        flat_shape = (int(np.prod(leaf.shape[:-1])), leaf.shape[-1])
+        q = jax.nn.initializers.orthogonal(scale=float(np.sqrt(2)))(
+            key, flat_shape, jnp.float32)
+        return q.reshape(leaf.shape).astype(leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(_orth, vgg_params)

@@ -389,6 +389,18 @@ class CausalConv3d(nn.Module):
                 (b, time_pad, h, w, c_last), dtype))
         int8_ok = (int8_conv_enabled(c_in, self.features) and not streaming
                    and self.pad_mode in ('constant', 'zeros'))
+        if (not int8_ok and (w_blocked_in or w_blocked_out) and not streaming
+                and self.pad_mode in ('constant', 'zeros')):
+            # packed-int8 (opt-in, MAGVIT2_TPU_INT8_PACKED=1): in the
+            # w-blocked layout the physical conv contracts 2*c_in -> 2*f, so
+            # the measured C>=128 int8 gate (tools/int8_probe.py: 1.85x at
+            # C>=128, a LOSS below) applies to the PHYSICAL widths — the
+            # flagship's c64 stage becomes int8-eligible only when packed.
+            import os
+            if os.environ.get('MAGVIT2_TPU_INT8_PACKED') == '1':
+                int8_ok = int8_conv_enabled(
+                    c_in * (2 if w_blocked_in else 1),
+                    self.features * (2 if w_blocked_out else 1))
         calibrating = (int8_ok and not self.is_initializing()
                        and self.is_mutable_collection('int8_calib'))
         kernel, bias, cache, calib = self._params(

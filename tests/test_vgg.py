@@ -95,9 +95,22 @@ def test_random_vgg_warns_and_npz_weights_load(tmp_path):
         seed=0,
     )
 
-    with pytest.warns(UserWarning, match='RANDOM'):
+    with pytest.warns(UserWarning, match='randomly'):
         tok = VideoTokenizer(**kwargs)
     assert tok.use_vgg and not tok.vgg_pretrained
+
+    # the weights-less tower must be NON-degenerate (r4 review #8 / the r5
+    # flagship GAN run measured perceptual ~2e-11 under the flax default,
+    # which zeroes the adaptive adversarial weight): orthogonal re-init
+    # keeps features O(1), so two distinct images must measure a perceptual
+    # distance far above fp noise
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    fa = tok.vgg.apply(tok.vgg_params, a)
+    fb = tok.vgg.apply(tok.vgg_params, b)
+    dist = float(jnp.mean((fa - fb) ** 2))
+    assert 1e-4 < dist < 1e6, dist
 
     state = _synthetic_torch_vgg16_state_dict()
     npz_path = tmp_path / 'vgg16.npz'

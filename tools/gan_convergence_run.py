@@ -128,6 +128,11 @@ def main():
     it = cycle(trainer.dataloader)
     t_last = time.perf_counter()
     last = {}
+    # R1 applies every apply_gradient_penalty_every=4 steps, but metrics are
+    # logged from step (50k - 1) ≡ 1 or 3 (mod 4) — never a GP step — so the
+    # r5 flagship log showed gradient_penalty=0.0 all run (a sampling
+    # artifact, not a dead R1 path). Track the most recent *applied* value.
+    last_gp_applied = None
     for step in range(args.steps + 1):
         if step % args.every == 0:
             p = float(probe_psnr(tok.params))
@@ -140,6 +145,8 @@ def main():
                     'adaptive_adversarial_weight', 'mean_bit_entropy',
                     'codebook_unique_codes', 'discr_loss',
                     'gradient_penalty') if k in last})
+            if last_gp_applied is not None:
+                row['gradient_penalty_last_applied'] = last_gp_applied
             curves.append(row)
             print('| ' + ' | '.join(
                 f'{k}={v}' for k, v in row.items()) + ' |', flush=True)
@@ -147,6 +154,9 @@ def main():
         if step == args.steps:
             break
         last = trainer.train_step(it)
+        if 'gradient_penalty' in last and float(
+                last['gradient_penalty']) != 0.0:
+            last_gp_applied = float(last['gradient_penalty'])
 
     out = pathlib.Path(__file__).resolve().parent.parent / args.out
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -154,7 +164,8 @@ def main():
         config='readme_flagship_gan', steps=args.steps,
         discr_start=args.discr_start, batch=args.batch, lr=args.lr,
         inv_temperature=args.inv_temperature,
-        vgg='random-init (no torchvision weights in image)',
+        vgg='random orthogonal init (no torchvision weights in image; '
+            'non-degenerate per models/vgg.py:orthogonalize_vgg_params)',
         backend=jax.default_backend(), curves=curves), indent=1))
     print(f'# wrote {out}')
 

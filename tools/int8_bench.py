@@ -60,16 +60,30 @@ def main():
     ap.add_argument('--static', action='store_true',
                     help='also measure the statically-calibrated int8 path '
                          '(calibrate_int8: no per-call absmax pass)')
+    ap.add_argument('--lane-pack', action='store_true',
+                    help='run the model with the lane-packed c64 island AND '
+                         'MAGVIT2_TPU_INT8_PACKED=1, so the packed 2x64=128-'
+                         'wide convs take the int8 path too (the packed-int8 '
+                         'experiment: packed bf16 loses at b128, but packed '
+                         'int8 may recover it on MXU rate)')
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
     from magvit2_pytorch_tpu.models import VideoTokenizer
 
-    tok = VideoTokenizer(
-        **readme_video_tokenizer_kwargs(
-            image_size=args.image_size, use_gan=False,
-            perceptual_loss_weight=0.0),
-        seed=0)
+    kwargs = readme_video_tokenizer_kwargs(
+        image_size=args.image_size, use_gan=False,
+        perceptual_loss_weight=0.0)
+    if args.lane_pack:
+        kwargs['lane_pack'] = True
+        os.environ['MAGVIT2_TPU_INT8_PACKED'] = '1'
+        # the packed residual units otherwise run the bf16 fused Pallas RU
+        # kernel — the int8 path would never see the island's convs (and
+        # calibration would miss them). Applies to ALL modes incl. the bf16
+        # control: this run's bf16 number is the no-fused-RU packed control,
+        # cross-run comparisons use the unpacked log.
+        os.environ['MAGVIT2_TPU_NO_FUSED_RU'] = '1'
+    tok = VideoTokenizer(**kwargs, seed=0)
     module = tok.module
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
