@@ -253,7 +253,8 @@ class VideoTokenizer:
 
     def calibrate_int8(self, videos, cond=None,
                        video_contains_first_frame: bool = True,
-                       channel_first: bool = False):
+                       channel_first: bool = False,
+                       percentile: Optional[float] = None):
         """Calibrate the static int8 inference path on representative
         ``videos`` (one batch or an iterable of batches).
 
@@ -266,6 +267,11 @@ class VideoTokenizer:
         producing chain (VERDICT r4 #3 — the dynamic path measured 1.14x
         bf16 e2e vs 1.85x standalone; requantization overhead is the gap).
 
+        ``percentile`` (e.g. 99.9) records that |activation| percentile
+        instead of the absmax: outlier activations stop dilating the scale
+        (they saturate at the int8 rails), everything else quantizes finer —
+        the standard post-training-quantization clip-calibration trade.
+
         Inference-only, like the dynamic int8 path (the trainer refuses the
         env gate). Returns the number of calibrated conv sites."""
         import os
@@ -276,7 +282,10 @@ class VideoTokenizer:
             batches = [videos]
 
         prev = os.environ.get('MAGVIT2_TPU_INT8_CONV')
+        prev_pct = os.environ.get('MAGVIT2_TPU_INT8_CALIB_PCT')
         os.environ['MAGVIT2_TPU_INT8_CONV'] = '1'
+        if percentile is not None:
+            os.environ['MAGVIT2_TPU_INT8_CALIB_PCT'] = str(float(percentile))
         try:
             def _calib(params, video, cond, vcff):
                 _, mut = self.module.apply(
@@ -287,7 +296,9 @@ class VideoTokenizer:
                 # records nothing — stay on the dynamic path
                 return mut.get('int8_calib', {})
 
-            fn = self._jitted('int8_calib', _calib,
+            # the percentile env is read at trace time — key the jit cache
+            # on it so re-calibration with a different clip re-traces
+            fn = self._jitted(f'int8_calib_p{percentile}', _calib,
                               static_argnames=('vcff',))
             merged = None
             for v in batches:
@@ -303,6 +314,10 @@ class VideoTokenizer:
                 os.environ.pop('MAGVIT2_TPU_INT8_CONV', None)
             else:
                 os.environ['MAGVIT2_TPU_INT8_CONV'] = prev
+            if prev_pct is None:
+                os.environ.pop('MAGVIT2_TPU_INT8_CALIB_PCT', None)
+            else:
+                os.environ['MAGVIT2_TPU_INT8_CALIB_PCT'] = prev_pct
 
         n_sites = sum(1 for _ in jax.tree.leaves(merged))
         self._int8_vars = (

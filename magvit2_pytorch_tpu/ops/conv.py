@@ -410,9 +410,16 @@ class CausalConv3d(nn.Module):
         if calib is not None:
             # calibration pass (VideoTokenizer.calibrate_int8): record the
             # running absmax of this conv's input; padding only adds zeros,
-            # so the pre-pad absmax is the post-pad absmax
-            calib.value = jnp.maximum(
-                calib.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            # so the pre-pad absmax is the post-pad absmax. With
+            # MAGVIT2_TPU_INT8_CALIB_PCT set (calibrate_int8(percentile=...))
+            # record that |x| percentile instead — outlier activations stop
+            # dilating the scale (the few clipped values saturate at +-127,
+            # everything else quantizes finer).
+            import os
+            ax = jnp.abs(x.astype(jnp.float32))
+            pct = os.environ.get('MAGVIT2_TPU_INT8_CALIB_PCT')
+            stat = jnp.percentile(ax, float(pct)) if pct else jnp.max(ax)
+            calib.value = jnp.maximum(calib.value, stat)
 
         if (not streaming and not w_blocked_in and not w_blocked_out
                 and self.pad_mode in ('constant', 'zeros') and kw == 3

@@ -191,3 +191,28 @@ def test_packed_int8_gate_and_numerics(monkeypatch):
     want_unb = conv.apply(params, x)
     rel_u = float(jnp.max(jnp.abs(got_unb - want_unb))) / scale
     assert rel_u < 2e-2, rel_u
+
+
+def test_percentile_calibration_tightens_scales(monkeypatch):
+    """calibrate_int8(percentile=...) records a clip statistic <= the absmax
+    one, and the static forward stays finite/close (the clipped outliers
+    saturate at the int8 rails instead of dilating every scale)."""
+    monkeypatch.setenv('MAGVIT2_TPU_INT8_CONV', '1')
+    tok = VideoTokenizer(**KW, seed=0)
+    v = jnp.asarray(np.random.default_rng(4).uniform(
+        size=(2, 2, 16, 16, 3)).astype(np.float32))
+    tok.calibrate_int8(v)
+    absmax_scales = {k: np.asarray(l) for k, l in
+                     zip(range(10**6), jax.tree.leaves(tok._int8_vars))}
+    r_absmax = np.asarray(tok.forward(v))
+    tok.calibrate_int8(v, percentile=99.0)
+    pct_leaves = jax.tree.leaves(tok._int8_vars)
+    # every float scale under percentile-99 calibration is <= absmax's
+    for i, l in enumerate(pct_leaves):
+        a = absmax_scales[i]
+        if np.asarray(l).dtype == np.int8:
+            continue   # pre-quantized kernels (weight path is unaffected)
+        assert (np.asarray(l) <= a + 1e-12).all()
+    r_pct = np.asarray(tok.forward(v))
+    assert np.isfinite(r_pct).all()
+    assert np.abs(r_pct - r_absmax).max() < 0.1

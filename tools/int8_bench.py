@@ -60,6 +60,10 @@ def main():
     ap.add_argument('--static', action='store_true',
                     help='also measure the statically-calibrated int8 path '
                          '(calibrate_int8: no per-call absmax pass)')
+    ap.add_argument('--percentile', type=float, default=None,
+                    help='clip calibration: record this |activation| '
+                         'percentile instead of the absmax for static '
+                         'scales (e.g. 99.9) — outlier-robust quantization')
     ap.add_argument('--lane-pack', action='store_true',
                     help='run the model with the lane-packed c64 island AND '
                          'MAGVIT2_TPU_INT8_PACKED=1, so the packed 2x64=128-'
@@ -100,10 +104,11 @@ def main():
         # calibrate once (batch 8 slice is plenty for per-tensor absmax; the
         # full batch would just re-derive the same scales slower)
         os.environ['MAGVIT2_TPU_INT8_CONV'] = '1'
-        n = tok.calibrate_int8(small)
+        n = tok.calibrate_int8(small, percentile=args.percentile)
         int8_vars = tok._int8_vars
         os.environ.pop('MAGVIT2_TPU_INT8_CONV', None)
-        print(f'# calibrated {n} conv sites', flush=True)
+        print(f'# calibrated {n} conv sites '
+              f'(percentile={args.percentile})', flush=True)
 
     def apply_fn(p, v):
         return module.apply(p, v)

@@ -67,6 +67,11 @@ def main():
     ap.add_argument('--image-size', type=int, default=128)
     ap.add_argument('--frames', type=int, default=17)
     ap.add_argument('--side', choices=['encoder', 'decoder', 'both'], default='both')
+    ap.add_argument('--filter', default=None,
+                    help='only bench layers whose layer_type contains this '
+                         'substring (e.g. "residual") — lets a single stage '
+                         'be probed at batches where the full chained sweep '
+                         'OOMs 16 GB')
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
@@ -113,6 +118,8 @@ def main():
     sides = ('encoder', 'decoder') if args.side == 'both' else (args.side,)
     for side in sides:
         for spec, (t, s, c) in walk(side == 'encoder'):
+            if args.filter and args.filter not in spec.layer_type:
+                continue
             mod = _build_layer(spec, config, f'lb_{side}_{spec.index}',
                                encoder=(side == 'encoder'))
             shape = (b, t, s, s, c)
