@@ -115,6 +115,7 @@ class VideoTokenizerTrainer:
         num_train_steps: int,
         learning_rate: float = 1e-5,
         grad_accum_every: int = 1,
+        grad_accum_split: bool = False,
         apply_gradient_penalty_every: int = 4,
         max_grad_norm: Optional[float] = None,
         dataset=None,
@@ -155,6 +156,14 @@ class VideoTokenizerTrainer:
         self.batch_size = batch_size
         self.num_train_steps = num_train_steps
         self.grad_accum_every = grad_accum_every
+        # split mode: one compiled micro-grad program dispatched
+        # grad_accum_every times + one optimizer-apply program, instead of a
+        # single program containing the unrolled accum loop. Same math;
+        # compile size and peak activation memory become independent of
+        # grad_accum_every (the monolithic graph at accum>=4 crashes some
+        # AOT compile services and schedules all micros' remat buffers
+        # together). Costs one extra dispatch + a persistent grads buffer.
+        self.grad_accum_split = bool(grad_accum_split) and grad_accum_every > 1
         self.apply_gradient_penalty_every = apply_gradient_penalty_every
         self.discr_start_after_step = discr_start_after_step
         self.validate_every_step = validate_every_step
@@ -427,18 +436,25 @@ class VideoTokenizerTrainer:
             stacked = stacked[:, :, None]
         return self._put_global(stacked, leading_none=1)
 
+    def _next_batch(self, dl_iter):
+        """One (B, ...) global micro-batch for split grad-accum — same upload
+        path as :meth:`_next_batches` without the accum axis."""
+        dtype = np.dtype(self.policy.compute_dtype)
+        data, *_ = next(dl_iter)
+        arr = np.asarray(data, dtype=dtype)
+        if arr.ndim == 4:
+            arr = arr[:, None]    # images -> single-frame videos
+        return self._put_global(arr)
+
     # -- jitted steps --------------------------------------------------------
 
-    def _gen_step_fn(self, train_adversarially: bool):
-        key = ('gen', train_adversarially)
-        if key in self._jit_cache:
-            return self._jit_cache[key]
-
+    def _gen_micro_loss(self, train_adversarially: bool):
+        """(params, discr_params, ms_params, vgg_params, batch, key) ->
+        (total_loss, LossBreakdown) for ONE micro-batch — shared by the
+        monolithic accum step and the split-accum micro step."""
         model = self.model
         cfg = model.config
         policy = self.policy
-        optimizer = self.optimizer
-        ema_config = self.ema_config
 
         adv_w = cfg.adversarial_loss_weight if train_adversarially else 0.0
         ms_adv_w = (cfg.multiscale_adversarial_loss_weight
@@ -466,6 +482,38 @@ class VideoTokenizerTrainer:
             )
             return total, breakdown
 
+        return micro_loss
+
+    @staticmethod
+    def _gen_micro_metrics(breakdown):
+        """Per-micro-batch scalar metric dict from a LossBreakdown (shared by
+        both accum modes so logged keys are identical)."""
+        ms = breakdown.multiscale_gen_losses
+        micro = {
+            'recon_loss': breakdown.recon_loss,
+            'perceptual_loss': breakdown.perceptual_loss,
+            'adversarial_gen_loss': breakdown.adversarial_gen_loss,
+            'adaptive_adversarial_weight':
+                breakdown.adaptive_adversarial_weight,
+            'lfq_aux_loss': breakdown.lfq_aux_loss,
+            'multiscale_gen_loss': (
+                sum(ms) / len(ms) if len(ms) > 0
+                else jnp.zeros((), jnp.float32)),
+        }
+        if breakdown.mean_bit_entropy is not None:   # LFQ only
+            micro['mean_bit_entropy'] = breakdown.mean_bit_entropy
+        return micro
+
+    def _gen_step_fn(self, train_adversarially: bool):
+        key = ('gen', train_adversarially)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        optimizer = self.optimizer
+        ema_config = self.ema_config
+        micro_loss = self._gen_micro_loss(train_adversarially)
+        micro_metrics = self._gen_micro_metrics
+
         def step_fn(params, opt_state, ema_params, discr_params, ms_params,
                     vgg_params, batches, rng, step, code_seen):
             # grad accumulation: unrolled python loop (accum is small and
@@ -483,20 +531,7 @@ class VideoTokenizerTrainer:
                         batches[i], keys[i])
                 grads = jax.tree.map(jnp.add, grads, g)
                 loss_sum = loss_sum + loss
-                ms = breakdown.multiscale_gen_losses
-                micro = {
-                    'recon_loss': breakdown.recon_loss,
-                    'perceptual_loss': breakdown.perceptual_loss,
-                    'adversarial_gen_loss': breakdown.adversarial_gen_loss,
-                    'adaptive_adversarial_weight':
-                        breakdown.adaptive_adversarial_weight,
-                    'lfq_aux_loss': breakdown.lfq_aux_loss,
-                    'multiscale_gen_loss': (
-                        sum(ms) / len(ms) if len(ms) > 0
-                        else jnp.zeros((), jnp.float32)),
-                }
-                if breakdown.mean_bit_entropy is not None:   # LFQ only
-                    micro['mean_bit_entropy'] = breakdown.mean_bit_entropy
+                micro = micro_metrics(breakdown)
                 metric_sums = micro if metric_sums is None else jax.tree.map(
                     jnp.add, metric_sums, micro)
                 code_seen = jnp.logical_or(code_seen, breakdown.codes_seen)
@@ -522,15 +557,110 @@ class VideoTokenizerTrainer:
         self._jit_cache[key] = fn
         return fn
 
-    def _discr_step_fn(self, apply_gradient_penalty: bool):
-        key = ('discr', apply_gradient_penalty)
+    # -- split grad-accum (grad_accum_split=True) ----------------------------
+    # The monolithic step above traces the whole accum loop into ONE program:
+    # best dispatch overhead, but the graph grows with grad_accum_every (a
+    # b2 x accum4 flagship train graph crashes some AOT compile services) and
+    # XLA must schedule all micro-batches' remat buffers together. Split mode
+    # compiles ONE micro-batch grad program + ONE optimizer-apply program and
+    # loops on the host: compile size and activation memory are independent
+    # of grad_accum_every. Same math, same metric keys; grads accumulate in
+    # a params-shaped f32 buffer that every micro call donates through.
+
+    def _gen_metric_zeros(self):
+        keys = ['recon_loss', 'perceptual_loss', 'adversarial_gen_loss',
+                'adaptive_adversarial_weight', 'lfq_aux_loss',
+                'multiscale_gen_loss']
+        if not self.model.config.use_fsq:     # LFQ carries the entropy canary
+            keys.append('mean_bit_entropy')
+        # distinct buffers per key — the accumulator dict is DONATED through
+        # the micro calls, and donating one aliased buffer twice is an error
+        return {k: jnp.zeros((), jnp.float32) for k in keys}
+
+    def _gen_micro_grad_fn(self, train_adversarially: bool):
+        key = ('gen_micro', train_adversarially)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
+        micro_loss = self._gen_micro_loss(train_adversarially)
+        micro_metrics = self._gen_micro_metrics
+
+        def micro_fn(params, discr_params, ms_params, vgg_params, batch, key,
+                     grads, loss_sum, metric_sums, code_seen):
+            (loss, breakdown), g = jax.value_and_grad(
+                micro_loss, has_aux=True)(
+                    params, discr_params, ms_params, vgg_params, batch, key)
+            grads = jax.tree.map(jnp.add, grads, g)
+            metric_sums = jax.tree.map(
+                jnp.add, metric_sums, micro_metrics(breakdown))
+            code_seen = jnp.logical_or(code_seen, breakdown.codes_seen)
+            return grads, loss_sum + loss, metric_sums, code_seen
+
+        # donate batch + every accumulator: each call consumes the previous
+        # call's accumulators, so the buffers thread through in place
+        fn = jax.jit(micro_fn, donate_argnums=(4, 6, 7, 8, 9))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _gen_apply_fn(self):
+        key = 'gen_apply'
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        optimizer = self.optimizer
+        ema_config = self.ema_config
+        accum = self.grad_accum_every
+
+        def apply_fn(params, opt_state, ema_params, grads, loss_sum,
+                     metric_sums, step, code_seen):
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_ema = ema_update(ema_params, new_params, step, ema_config)
+            metrics = {k: v / accum for k, v in metric_sums.items()}
+            metrics['total_loss'] = loss_sum / accum
+            metrics['codebook_unique_codes'] = code_seen.sum()
+            return new_params, new_opt_state, new_ema, metrics
+
+        fn = jax.jit(apply_fn, donate_argnums=(0, 1, 2, 3))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _gen_step_split(self, train_adversarially, dl_iter, rng, step):
+        """Split-accum generator step: grad_accum_every micro-grad dispatches
+        + one optimizer apply. Numerically identical to the monolithic step
+        (same per-micro keys, same summation order)."""
+        model = self.model
+        micro_fn = self._gen_micro_grad_fn(train_adversarially)
+        apply_fn = self._gen_apply_fn()
+        accum = self.grad_accum_every
+        keys = jax.random.split(rng, accum)
+
+        if 'gen_zeros' not in self._jit_cache:
+            self._jit_cache['gen_zeros'] = jax.jit(
+                lambda p: jax.tree.map(jnp.zeros_like, p))
+        grads = self._jit_cache['gen_zeros'](model.params)
+        loss_sum = jnp.zeros((), jnp.float32)
+        metric_sums = self._gen_metric_zeros()
+        code_seen = self._code_seen
+        ms_params = tuple(model.multiscale_params)
+        for i in range(accum):
+            grads, loss_sum, metric_sums, code_seen = micro_fn(
+                model.params, model.discr_params, ms_params,
+                model.vgg_params, self._next_batch(dl_iter), keys[i],
+                grads, loss_sum, metric_sums, code_seen)
+        self._code_seen = code_seen
+        (model.params, self.opt_state, self.ema_params, metrics) = apply_fn(
+            model.params, self.opt_state, self.ema_params, grads, loss_sum,
+            metric_sums, jnp.asarray(step), code_seen)
+        return metrics
+
+    def _discr_micro_loss(self, apply_gradient_penalty: bool):
+        """(discr_tree, params, batch, key) -> (total, DiscrLossBreakdown)
+        for ONE micro-batch — shared by both accum modes."""
         model = self.model
         cfg = model.config
         policy = self.policy
-        optimizer = self.discr_optimizer
 
         def micro_loss(discr_tree, params, batch, key):
             total, breakdown = discriminator_loss(
@@ -543,6 +673,17 @@ class VideoTokenizerTrainer:
                 multiscale_adversarial_loss_weight=cfg.multiscale_adversarial_loss_weight,
             )
             return total, breakdown
+
+        return micro_loss
+
+    def _discr_step_fn(self, apply_gradient_penalty: bool):
+        key = ('discr', apply_gradient_penalty)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        model = self.model
+        optimizer = self.discr_optimizer
+        micro_loss = self._discr_micro_loss(apply_gradient_penalty)
 
         def step_fn(discr_tree, discr_opt_state, params, batches, rng):
             accum = batches.shape[0]
@@ -583,6 +724,79 @@ class VideoTokenizerTrainer:
         self._jit_cache[key] = fn
         return fn
 
+    def _discr_micro_grad_fn(self, apply_gradient_penalty: bool):
+        key = ('discr_micro', apply_gradient_penalty)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        micro_loss = self._discr_micro_loss(apply_gradient_penalty)
+        has_ms = len(self.model.multiscale_discrs) > 0
+
+        def micro_fn(discr_tree, params, batch, key, grads, sums):
+            (loss, bd), g = jax.value_and_grad(micro_loss, has_aux=True)(
+                discr_tree, params, batch, key)
+            grads = jax.tree.map(jnp.add, grads, g)
+            ms = bd.multiscale_discr_losses
+            micro = {
+                'total_discr_loss': loss,
+                'discr_loss': bd.discr_loss,
+                'gradient_penalty': bd.gradient_penalty,
+                'multiscale_discr_loss': (
+                    sum(ms) / len(ms) if has_ms
+                    else jnp.zeros((), jnp.float32)),
+            }
+            return grads, jax.tree.map(jnp.add, sums, micro)
+
+        fn = jax.jit(micro_fn, donate_argnums=(2, 4, 5))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _discr_apply_fn(self):
+        key = 'discr_apply'
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        optimizer = self.discr_optimizer
+        accum = self.grad_accum_every
+
+        def apply_fn(discr_tree, discr_opt_state, grads, sums):
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            updates, new_opt_state = optimizer.update(
+                grads, discr_opt_state, discr_tree)
+            new_tree = optax.apply_updates(discr_tree, updates)
+            metrics = {k: v / accum for k, v in sums.items()}
+            return new_tree, new_opt_state, metrics
+
+        fn = jax.jit(apply_fn, donate_argnums=(0, 1, 2))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _discr_step_split(self, apply_gradient_penalty, dl_iter, rng):
+        """Split-accum discriminator step (see _gen_step_split)."""
+        model = self.model
+        micro_fn = self._discr_micro_grad_fn(apply_gradient_penalty)
+        apply_fn = self._discr_apply_fn()
+        accum = self.grad_accum_every
+        keys = jax.random.split(rng, accum)
+
+        discr_tree = self._discr_tree()
+        if 'discr_zeros' not in self._jit_cache:
+            self._jit_cache['discr_zeros'] = jax.jit(
+                lambda p: jax.tree.map(jnp.zeros_like, p))
+        grads = self._jit_cache['discr_zeros'](discr_tree)
+        # distinct buffers per key (the dict is donated through micro calls)
+        sums = {k: jnp.zeros((), jnp.float32)
+                for k in ('total_discr_loss', 'discr_loss',
+                          'gradient_penalty', 'multiscale_discr_loss')}
+        for i in range(accum):
+            grads, sums = micro_fn(discr_tree, model.params,
+                                   self._next_batch(dl_iter), keys[i],
+                                   grads, sums)
+        discr_tree, self.discr_opt_state, metrics = apply_fn(
+            discr_tree, self.discr_opt_state, grads, sums)
+        self._set_discr_tree(discr_tree)
+        return metrics
+
     # -- train loop ----------------------------------------------------------
 
     def train_step(self, dl_iter):
@@ -596,17 +810,21 @@ class VideoTokenizerTrainer:
         rng_gen, rng_discr = jax.random.split(rng)
 
         # generator
-        batches = self._next_batches(dl_iter)
-        gen_fn = self._gen_step_fn(train_adversarially)
         if self._code_seen is None:
             self._code_seen = replicate(
                 jnp.zeros((model.codebook_size,), jnp.bool_), self.mesh)
-        (model.params, self.opt_state, self.ema_params, metrics,
-         self._code_seen) = gen_fn(
-            model.params, self.opt_state, self.ema_params,
-            model.discr_params, tuple(model.multiscale_params),
-            model.vgg_params, batches, rng_gen, jnp.asarray(step),
-            self._code_seen)
+        if self.grad_accum_split:
+            metrics = self._gen_step_split(
+                train_adversarially, dl_iter, rng_gen, step)
+        else:
+            batches = self._next_batches(dl_iter)
+            gen_fn = self._gen_step_fn(train_adversarially)
+            (model.params, self.opt_state, self.ema_params, metrics,
+             self._code_seen) = gen_fn(
+                model.params, self.opt_state, self.ema_params,
+                model.discr_params, tuple(model.multiscale_params),
+                model.vgg_params, batches, rng_gen, jnp.asarray(step),
+                self._code_seen)
 
         if not train_adversarially:
             self.step += 1
@@ -616,12 +834,17 @@ class VideoTokenizerTrainer:
         # generator metrics are pulled to host, so the device→host sync
         # overlaps the discriminator step instead of serializing dispatch
         apply_gp = not (step % self.apply_gradient_penalty_every)
-        batches = self._next_batches(dl_iter)
-        discr_fn = self._discr_step_fn(apply_gp)
-        discr_tree = self._discr_tree()
-        discr_tree, self.discr_opt_state, discr_metrics = discr_fn(
-            discr_tree, self.discr_opt_state, model.params, batches, rng_discr)
-        self._set_discr_tree(discr_tree)
+        if self.grad_accum_split:
+            discr_metrics = self._discr_step_split(apply_gp, dl_iter,
+                                                   rng_discr)
+        else:
+            batches = self._next_batches(dl_iter)
+            discr_fn = self._discr_step_fn(apply_gp)
+            discr_tree = self._discr_tree()
+            discr_tree, self.discr_opt_state, discr_metrics = discr_fn(
+                discr_tree, self.discr_opt_state, model.params, batches,
+                rng_discr)
+            self._set_discr_tree(discr_tree)
 
         self.step += 1
         return self._emit_metrics(step, metrics, discr_metrics, apply_gp)

@@ -338,6 +338,56 @@ def test_trainer_images_mode(tmp_path):
     assert len(list((tmp_path / 'results').glob('*.gif'))) == 1
 
 
+def test_split_grad_accum_matches_monolithic(tmp_path):
+    """grad_accum_split=True (one compiled micro-grad program dispatched per
+    micro-batch + one apply program) must produce the same training
+    trajectory and the same metric keys as the monolithic unrolled-accum
+    step — split accum is a compile-size/memory strategy, not different
+    math. Covers gen + discr + GP paths by crossing discr_start mid-run."""
+    import jax
+
+    data = SyntheticVideos(n=32, seed=3).items
+
+    def batch_iter():
+        i = 0
+        while True:
+            lo = (i * 8) % 32
+            yield (data[lo:lo + 8],)
+            i += 1
+
+    def run(split, tag):
+        model = _model(use_gan=True)
+        tr = _trainer(model, tmp_path / tag, batch_size=8,
+                      grad_accum_every=2, grad_accum_split=split,
+                      discr_start_after_step=1, num_train_steps=3)
+        assert tr.grad_accum_split is split
+        it = batch_iter()
+        last = None
+        for _ in range(3):   # step 0 gen-only; steps 1-2 adversarial (+GP)
+            last = tr.train_step(it)
+        return (jax.device_get(model.params),
+                jax.device_get(model.discr_params),
+                {k: float(v) for k, v in last.items()})
+
+    p_mono, d_mono, m_mono = run(False, 'mono')
+    p_split, d_split, m_split = run(True, 'split')
+
+    assert set(m_mono) == set(m_split), (set(m_mono), set(m_split))
+    for k in m_mono:
+        np.testing.assert_allclose(m_mono[k], m_split[k], rtol=2e-3,
+                                   atol=2e-4, err_msg=f'metric {k}')
+    for name, (a, b) in {'gen': (p_mono, p_split),
+                         'discr': (d_mono, d_split)}.items():
+        fa = jax.tree_util.tree_leaves_with_path(a)
+        fb = jax.tree_util.tree_leaves_with_path(b)
+        assert len(fa) == len(fb)
+        for (pa, la), (_, lb) in zip(fa, fb):
+            np.testing.assert_allclose(
+                np.asarray(la, np.float32), np.asarray(lb, np.float32),
+                rtol=2e-4, atol=2e-5,
+                err_msg=f'{name} diverged at {jax.tree_util.keystr(pa)}')
+
+
 def test_large_codebook_parity_temperature_warns():
     """Constructing an LFQ tokenizer with codebook_size >= 2^14 at the
     reference-parity inv_temperature emits the collapse warning (measured:

@@ -86,6 +86,151 @@ def _audit(name, fn, *args, measured_s=None):
     return flops, bytes_
 
 
+def _run_split(args, trainer, tok):
+    """Audit + measure the split grad-accum train step: accum dispatches of
+    the compiled micro-grad program + one apply program per phase. The
+    batch-N-equivalent MFU lives here — the monolithic accum graph at this
+    scale either crashes the AOT compile service or OOMs
+    (results/train_mfu_r5_b{8,4}a1_full.log, .._b2a4_remat.log)."""
+    import time
+
+    B, A = args.batch, args.accum
+    micro_gen = trainer._gen_micro_grad_fn(True)
+    apply_gen = trainer._gen_apply_fn()
+    micro_discr = trainer._discr_micro_grad_fn(True)
+    apply_discr = trainer._discr_apply_fn()
+    dtree0 = trainer._discr_tree()
+
+    batch_sds = jax.ShapeDtypeStruct(
+        (B, args.frames, args.image_size, args.image_size, 3),
+        jnp.dtype(trainer.policy.compute_dtype))
+    key_sds = _sds(jax.random.PRNGKey(0))
+    seen_sds = jax.ShapeDtypeStruct((tok.codebook_size,), jnp.bool_)
+    scalar = jax.ShapeDtypeStruct((), jnp.float32)
+    gen_metric_sds = _sds(trainer._gen_metric_zeros())
+    discr_sums_sds = {k: scalar for k in (
+        'total_discr_loss', 'discr_loss', 'gradient_penalty',
+        'multiscale_discr_loss')}
+
+    measured = {'gen': None, 'discr': None}
+    if args.measure:
+        make_batch = jax.jit(lambda k: jax.random.uniform(
+            k, (B, args.frames, args.image_size, args.image_size, 3),
+            jnp.float32).astype(jnp.dtype(trainer.policy.compute_dtype)))
+        # warm TWICE: the first call can compile against uncommitted input
+        # buffers and the second against the committed outputs — two cache
+        # entries; a single warm step leaves the second compile inside the
+        # short timed run and the slope goes negative (observed on CPU)
+        n_warm, n_short, n_long = 2, 1, 5
+        n_steps = n_warm + n_short + n_long
+        bs = [make_batch(jax.random.PRNGKey(i))
+              for i in range(2 * n_steps * A)]
+        jax.block_until_ready(bs)
+        rng0 = jax.random.PRNGKey(0)
+        step0 = jnp.int32(0)
+        bi = [0]
+
+        def next_batch():
+            bi[0] += 1
+            return bs[bi[0] - 1]
+
+        def slope(one, s0):
+            def timed(n, s):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    s = one(s)
+                # real host fetch — through the remote tunnel
+                # block_until_ready can return early (see monolithic path)
+                leaf = jax.tree.leaves(s)[0]
+                float(jnp.reshape(leaf, (-1,))[0].astype(jnp.float32))
+                return time.perf_counter() - t0, s
+            _, s = timed(n_warm, s0)
+            t_s, s = timed(n_short, s)
+            t_l, s = timed(n_long, s)
+            return (t_l - t_s) / (n_long - n_short), s
+
+        zeros = jax.jit(lambda p: jax.tree.map(jnp.zeros_like, p))
+
+        def gen_one(s):
+            params, opt, ema, seen = s
+            grads = zeros(params)
+            loss = jnp.zeros((), jnp.float32)
+            sums = trainer._gen_metric_zeros()
+            for _ in range(A):
+                grads, loss, sums, seen = micro_gen(
+                    params, dtree0['discr'], dtree0['multiscale'],
+                    tok.vgg_params, next_batch(), rng0, grads, loss, sums,
+                    seen)
+            params, opt, ema, _ = apply_gen(
+                params, opt, ema, grads, loss, sums, step0, seen)
+            return (params, opt, ema, seen)
+
+        seen0 = jnp.zeros((tok.codebook_size,), jnp.bool_)
+        measured['gen'], gen_state = slope(
+            gen_one, (tok.params, trainer.opt_state, trainer.ema_params,
+                      seen0))
+        params_for_discr = gen_state[0]
+
+        def discr_one(s):
+            dtree, dopt = s
+            grads = zeros(dtree)
+            sums = {k: jnp.zeros((), jnp.float32) for k in discr_sums_sds}
+            for _ in range(A):
+                grads, sums = micro_discr(dtree, params_for_discr,
+                                          next_batch(), rng0, grads, sums)
+            dtree, dopt, _ = apply_discr(dtree, dopt, grads, sums)
+            return (dtree, dopt)
+
+        measured['discr'], _ = slope(
+            discr_one, (dtree0, trainer.discr_opt_state))
+
+    # cost analysis: accum x micro + apply per phase
+    mg_f, mg_b = _audit(
+        'generator micro-grad (one micro-batch fwd+bwd, adversarial on)',
+        micro_gen, _sds(tok.params), _sds(dtree0['discr']),
+        _sds(dtree0['multiscale']), _sds(tok.vgg_params), batch_sds, key_sds,
+        _sds(tok.params), scalar, gen_metric_sds, seen_sds)
+    ag_f, ag_b = _audit(
+        'generator apply (adam+ema)', apply_gen,
+        _sds(tok.params), _sds(trainer.opt_state), _sds(trainer.ema_params),
+        _sds(tok.params), scalar, gen_metric_sds, _sds(jnp.int32(0)),
+        seen_sds)
+    md_f, md_b = _audit(
+        'discriminator micro-grad (R1 penalty on)', micro_discr,
+        _sds(dtree0), _sds(tok.params), batch_sds, key_sds, _sds(dtree0),
+        discr_sums_sds)
+    ad_f, ad_b = _audit(
+        'discriminator apply (adam)', apply_discr,
+        _sds(dtree0), _sds(trainer.discr_opt_state), _sds(dtree0),
+        discr_sums_sds)
+
+    gf, gb = A * mg_f + ag_f, A * mg_b + ag_b
+    df, db = A * md_f + ad_f, A * md_b + ad_b
+    print(f'\n## generator step ({A} micro-grads + apply, '
+          f'batch-{A * B}-equivalent)')
+    print(f'  FLOPs            : {gf / 1e12:.3f} TFLOP')
+    print(f'  mixed roofline   : '
+          f'{max(gf / PEAK_FLOPS, gb / HBM_BW) * 1e3:.1f} ms/step')
+    if measured['gen']:
+        print(f'  measured         : {measured["gen"] * 1e3:.1f} ms/step '
+              f'-> MFU {gf / (measured["gen"] * PEAK_FLOPS) * 100:.1f}% '
+              f'(roofline attainment '
+              f'{max(gf / PEAK_FLOPS, gb / HBM_BW) / measured["gen"] * 100:.0f}%)')
+    print(f'\n## discriminator step ({A} micro-grads + apply)')
+    print(f'  FLOPs            : {df / 1e12:.3f} TFLOP')
+    print(f'  mixed roofline   : '
+          f'{max(df / PEAK_FLOPS, db / HBM_BW) * 1e3:.1f} ms/step')
+    if measured['discr']:
+        print(f'  measured         : {measured["discr"] * 1e3:.1f} ms/step '
+              f'-> MFU {df / (measured["discr"] * PEAK_FLOPS) * 100:.1f}%')
+    tot = (measured['gen'] or 0) + (measured['discr'] or 0)
+    print('\n## full train step (gen + discr)')
+    print(f'  FLOPs            : {(gf + df) / 1e12:.3f} TFLOP')
+    if tot:
+        print(f'  measured         : {tot * 1e3:.1f} ms/step '
+              f'-> train MFU {(gf + df) / (tot * PEAK_FLOPS) * 100:.1f}%')
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=2)
@@ -95,6 +240,11 @@ def main():
     ap.add_argument('--vgg', action='store_true',
                     help='include the VGG16 perceptual loss in the step')
     ap.add_argument('--remat', default='dots')
+    ap.add_argument('--split', action='store_true',
+                    help='use the trainer\'s split grad-accum mode (one '
+                         'compiled micro-grad program per micro-batch + one '
+                         'apply program) — compile size and activation '
+                         'memory independent of --accum')
     ap.add_argument('--measured-gen-s', type=float, default=None)
     ap.add_argument('--measured-discr-s', type=float, default=None)
     ap.add_argument('--measure', action='store_true',
@@ -116,6 +266,7 @@ def main():
         batch_size=args.batch,
         num_train_steps=10,
         grad_accum_every=args.accum,
+        grad_accum_split=args.split,
         dataset=_ArrayDataset(max(8, args.batch * 2), args.frames,
                               args.image_size),
         valid_frac=0.0,
@@ -132,7 +283,11 @@ def main():
 
     print(f'# train-step FLOP audit — {args.image_size}px x {args.frames}f, '
           f'batch {B} x accum {A}, vgg={args.vgg}, remat={args.remat}, '
-          f'backend={jax.default_backend()}')
+          f'split={args.split}, backend={jax.default_backend()}')
+
+    if args.split and A > 1:
+        _run_split(args, trainer, tok)
+        return
 
     gen_fn = trainer._gen_step_fn(True)
     discr_fn = trainer._discr_step_fn(True)
@@ -143,7 +298,11 @@ def main():
         make_batch = jax.jit(lambda k: jax.random.uniform(
             k, (A, B, args.frames, args.image_size, args.image_size, 3),
             jnp.float32).astype(jnp.dtype(trainer.policy.compute_dtype)))
-        n_warm, n_short, n_long = 1, 1, 5
+        # warm TWICE: the first call can compile against uncommitted input
+        # buffers and the second against the committed outputs — two cache
+        # entries; a single warm step leaves the second compile inside the
+        # short timed run and the slope goes negative (observed on CPU)
+        n_warm, n_short, n_long = 2, 1, 5
         bs = [make_batch(jax.random.PRNGKey(i))
               for i in range(2 * (n_warm + n_short + n_long))]
         jax.block_until_ready(bs)
