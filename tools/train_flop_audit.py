@@ -95,10 +95,13 @@ def _run_split(args, trainer, tok):
     import time
 
     B, A = args.batch, args.accum
+    gen_only = getattr(args, 'gen_only', False)
     micro_gen = trainer._gen_micro_grad_fn(True)
     apply_gen = trainer._gen_apply_fn()
-    micro_discr = trainer._discr_micro_grad_fn(True)
-    apply_discr = trainer._discr_apply_fn()
+    micro_discr = apply_discr = None
+    if not gen_only:
+        micro_discr = trainer._discr_micro_grad_fn(True)
+        apply_discr = trainer._discr_apply_fn()
     dtree0 = trainer._discr_tree()
 
     batch_sds = jax.ShapeDtypeStruct(
@@ -171,18 +174,21 @@ def _run_split(args, trainer, tok):
                       seen0))
         params_for_discr = gen_state[0]
 
-        def discr_one(s):
-            dtree, dopt = s
-            grads = zeros(dtree)
-            sums = {k: jnp.zeros((), jnp.float32) for k in discr_sums_sds}
-            for _ in range(A):
-                grads, sums = micro_discr(dtree, params_for_discr,
-                                          next_batch(), rng0, grads, sums)
-            dtree, dopt, _ = apply_discr(dtree, dopt, grads, sums)
-            return (dtree, dopt)
+        if not gen_only:
+            def discr_one(s):
+                dtree, dopt = s
+                grads = zeros(dtree)
+                sums = {k: jnp.zeros((), jnp.float32)
+                        for k in discr_sums_sds}
+                for _ in range(A):
+                    grads, sums = micro_discr(dtree, params_for_discr,
+                                              next_batch(), rng0, grads,
+                                              sums)
+                dtree, dopt, _ = apply_discr(dtree, dopt, grads, sums)
+                return (dtree, dopt)
 
-        measured['discr'], _ = slope(
-            discr_one, (dtree0, trainer.discr_opt_state))
+            measured['discr'], _ = slope(
+                discr_one, (dtree0, trainer.discr_opt_state))
 
     # cost analysis: accum x micro + apply per phase
     mg_f, mg_b = _audit(
@@ -195,14 +201,16 @@ def _run_split(args, trainer, tok):
         _sds(tok.params), _sds(trainer.opt_state), _sds(trainer.ema_params),
         _sds(tok.params), scalar, gen_metric_sds, _sds(jnp.int32(0)),
         seen_sds)
-    md_f, md_b = _audit(
-        'discriminator micro-grad (R1 penalty on)', micro_discr,
-        _sds(dtree0), _sds(tok.params), batch_sds, key_sds, _sds(dtree0),
-        discr_sums_sds)
-    ad_f, ad_b = _audit(
-        'discriminator apply (adam)', apply_discr,
-        _sds(dtree0), _sds(trainer.discr_opt_state), _sds(dtree0),
-        discr_sums_sds)
+    md_f = md_b = ad_f = ad_b = 0.0
+    if not gen_only:
+        md_f, md_b = _audit(
+            'discriminator micro-grad (R1 penalty on)', micro_discr,
+            _sds(dtree0), _sds(tok.params), batch_sds, key_sds, _sds(dtree0),
+            discr_sums_sds)
+        ad_f, ad_b = _audit(
+            'discriminator apply (adam)', apply_discr,
+            _sds(dtree0), _sds(trainer.discr_opt_state), _sds(dtree0),
+            discr_sums_sds)
 
     gf, gb = A * mg_f + ag_f, A * mg_b + ag_b
     df, db = A * md_f + ad_f, A * md_b + ad_b
@@ -249,6 +257,11 @@ def main():
     ap.add_argument('--measured-discr-s', type=float, default=None)
     ap.add_argument('--measure', action='store_true',
                     help='time the jitted steps on the attached backend')
+    ap.add_argument('--gen-only', action='store_true',
+                    help='skip the discriminator phase entirely — halves the '
+                         'AOT compile cost when only the generator MFU is '
+                         'needed (remote compile services can take ~10 min '
+                         'per flagship train program)')
     args = ap.parse_args()
 
     from magvit2_pytorch_tpu.configs import readme_video_tokenizer_kwargs
